@@ -1,0 +1,94 @@
+"""Patch-wise (pix2pix-style) discriminator, TPU-native rebuild of the
+reference critic (/root/reference/patchgan/disc.py:5-51).
+
+Architecture parity:
+- operates on the channel concatenation of the input image and mask;
+  here the concat is fused into the first conv (ops.conv2d(x2=...)),
+  replacing the reference's torch.cat (trainer.py:65,96,98).
+- layer 0: Conv(k=4, s=2, p=1, bias=True) + LeakyReLU(0.2) (disc.py:19-20).
+- layers 1..n_layers-1: Conv(k=4, s=2, p=1, bias=False) + **Tanh**, then
+  optional InstanceNorm AFTER the activation (disc.py:26-32) -- the
+  reference deliberately uses Tanh, not LeakyReLU, and norms after the
+  activation; both quirks are preserved for numerics parity.
+- one stride-1 Conv(bias=False) + Tanh (+ optional norm) (disc.py:36-42).
+- final stride-1 Conv -> 1 channel (bias=True) + Sigmoid (disc.py:45-46).
+- filter ladder ndf * min(2^n, 8) (disc.py:25,35).
+
+Conv weights use xavier-uniform init (trainer.py:338-339); biases keep
+torch's Conv2d default uniform(-1/sqrt(fan_in), 1/sqrt(fan_in)) since the
+reference's weights_init leaves biases untouched.
+"""
+
+import math
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.activations import apply_activation
+from ..ops.conv import conv2d
+from ..ops.norm import instance_norm
+from .blocks import KERNEL_SIZE, NORM_EPS, xavier_uniform
+
+
+def torch_conv_bias_init(fan_in):
+    bound = 1.0 / math.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
+class Discriminator(nn.Module):
+    input_nc: int            # total channels: image channels + mask channels
+    ndf: int = 64
+    n_layers: int = 3
+    norm: bool = False
+    dtype: Any = jnp.float32
+    use_pallas: bool = True
+
+    @nn.compact
+    def __call__(self, x, y=None, train=False):
+        """x: (N, H, W, Ci) image; y: optional (N, H, W, Cm) mask that is
+        logically channel-concatenated with x (fused into the first conv).
+        If y is None, x must already carry input_nc channels."""
+        del train  # the discriminator has no dropout
+        k = KERNEL_SIZE
+        x = x.astype(self.dtype)
+        y = y.astype(self.dtype) if y is not None else None
+
+        def conv(h, features, stride, use_bias, name, h2=None):
+            in_ch = h.shape[-1] + (h2.shape[-1] if h2 is not None else 0)
+            kernel = self.param(f'{name}_kernel', xavier_uniform,
+                                (k, k, in_ch, features))
+            bias = None
+            if use_bias:
+                bias = self.param(f'{name}_bias',
+                                  torch_conv_bias_init(in_ch * k * k),
+                                  (features,))
+                bias = bias.astype(self.dtype)
+            return conv2d(h, kernel.astype(self.dtype), stride=stride,
+                          padding=1, bias=bias, x2=h2)
+
+        h = conv(x, self.ndf, stride=2, use_bias=True, name='conv0', h2=y)
+        h = apply_activation(h, 'leakyrelu')
+
+        nf_mult = 1
+        for n in range(1, self.n_layers):
+            nf_mult = min(2 ** n, 8)
+            h = conv(h, self.ndf * nf_mult, stride=2, use_bias=False,
+                     name=f'conv{n}')
+            h = apply_activation(h, 'tanh')
+            if self.norm:
+                h = instance_norm(h, eps=NORM_EPS, use_pallas=self.use_pallas)
+
+        nf_mult = min(2 ** self.n_layers, 8)
+        h = conv(h, self.ndf * nf_mult, stride=1, use_bias=False,
+                 name=f'conv{self.n_layers}')
+        h = apply_activation(h, 'tanh')
+        if self.norm:
+            h = instance_norm(h, eps=NORM_EPS, use_pallas=self.use_pallas)
+
+        h = conv(h, 1, stride=1, use_bias=True, name='conv_out')
+        return apply_activation(h, 'sigmoid')

@@ -1,0 +1,173 @@
+"""The fused GAN train/eval step.
+
+The reference's hot loop (Trainer.batch, /root/reference/patchgan/
+trainer.py:50-115) runs G forward, G backward+step, then two fresh D
+forwards and a D backward+step as separate torch autograd graphs. Here
+the ENTIRE alternating update is one jitted function: generator forward,
+segmentation + adversarial losses, generator grads/Adam update, then the
+discriminator's loss on (real, stop_gradient(fake)) with its own
+grads/Adam update — a single XLA program with donated state buffers.
+
+Ordering parity: the discriminator update consumes the generator output
+computed BEFORE the generator's optimizer step (the reference computes
+gen_img once at trainer.py:63 and reuses it detached at trainer.py:98),
+and the generator's adversarial term uses the pre-update discriminator.
+Both properties hold here by construction.
+
+Loss-dict parity: the returned scalar dict uses the reference's keys
+['gen', 'gen_loss', 'gdisc', 'discr', 'discf', 'disc'] with 'gen' and
+'gen_loss' duplicated (trainer.py:109-111).
+"""
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..ops.losses import (bce_loss, fc_tversky, mae_loss,
+                          weighted_bce_loss)
+
+
+class TrainState(NamedTuple):
+    g_params: Any
+    d_params: Any
+    g_opt_state: Any
+    d_opt_state: Any
+    step: jnp.ndarray
+    rng: Any
+
+
+def make_optimizer(learning_rate=1e-3, b1=0.9, b2=0.999):
+    """Adam with betas (0.9, 0.999) (reference trainer.py:169-172), with
+    the learning rate exposed as mutable optimizer-state so epoch-level
+    LR schedules never retrace the step."""
+    return optax.inject_hyperparams(optax.adam)(
+        learning_rate=learning_rate, b1=b1, b2=b2)
+
+
+def init_train_state(generator, discriminator, input_shape, out_channels,
+                     gen_tx, disc_tx, seed=0):
+    """Initialise both param trees and optimizer states.
+
+    input_shape: (N, H, W, C_in) of the generator input.
+    """
+    rng = jax.random.PRNGKey(seed)
+    g_key, d_key, state_key = jax.random.split(rng, 3)
+    x = jnp.zeros(input_shape, jnp.float32)
+    y = jnp.zeros(input_shape[:3] + (out_channels,), jnp.float32)
+    g_params = generator.init(g_key, x, train=False)['params']
+    d_params = discriminator.init(d_key, x, y)['params']
+    return TrainState(
+        g_params=g_params,
+        d_params=d_params,
+        g_opt_state=gen_tx.init(g_params),
+        d_opt_state=disc_tx.init(d_params),
+        step=jnp.zeros((), jnp.int32),
+        rng=state_key,
+    )
+
+
+def make_seg_loss(loss_type, seg_alpha, tversky_beta=0.75,
+                  tversky_gamma=0.75):
+    """Segmentation loss dispatch (reference trainer.py:71-82)."""
+    if loss_type == 'tversky':
+        def seg(gen_img, y):
+            return fc_tversky(y, gen_img, beta=tversky_beta,
+                              gamma=tversky_gamma) * seg_alpha
+    elif loss_type == 'weighted_bce':
+        def seg(gen_img, y):
+            if gen_img.shape[-1] > 1:
+                # per-channel weights (trainer.py:76-78); NHWC keepdim over
+                # (1,2) == the reference's NCHW keepdim over (2,3)
+                yf = y.astype(jnp.float32)
+                weight = 1.0 - (jnp.sum(yf, axis=(1, 2), keepdims=True)
+                                / jnp.sum(yf))
+            else:
+                weight = jnp.ones_like(y, dtype=jnp.float32)
+            return weighted_bce_loss(gen_img, y, weight) * seg_alpha
+    elif loss_type == 'MAE':
+        def seg(gen_img, y):
+            return mae_loss(gen_img, y) * seg_alpha
+    else:
+        raise ValueError(f"Unknown loss_type: {loss_type!r}")
+    return seg
+
+
+def gan_losses(generator, discriminator, seg_loss, g_params, d_params,
+               x, y, train, dropout_rng):
+    """Shared forward-pass/loss computation for train and eval."""
+    rngs = {'dropout': dropout_rng} if train else None
+    gen_img = generator.apply({'params': g_params}, x, train=train,
+                              rngs=rngs)
+    disc_fake = discriminator.apply({'params': d_params}, x, gen_img)
+    seg = seg_loss(gen_img, y)
+    gdisc = bce_loss(disc_fake, jnp.ones_like(disc_fake))
+    return seg + gdisc, (gen_img, gdisc)
+
+
+def make_train_step(generator, discriminator, gen_tx, disc_tx,
+                    loss_type='tversky', seg_alpha=200.0,
+                    tversky_beta=0.75, tversky_gamma=0.75):
+    seg_loss = make_seg_loss(loss_type, seg_alpha, tversky_beta,
+                             tversky_gamma)
+
+    def train_step(state, x, y):
+        dropout_rng = jax.random.fold_in(state.rng, state.step)
+
+        def g_loss_fn(g_params):
+            return gan_losses(generator, discriminator, seg_loss, g_params,
+                              state.d_params, x, y, True, dropout_rng)
+
+        (g_loss, (gen_img, gdisc)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(state.g_params)
+        g_updates, g_opt_state = gen_tx.update(
+            g_grads, state.g_opt_state, state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_updates)
+
+        gen_img = jax.lax.stop_gradient(gen_img)
+
+        def d_loss_fn(d_params):
+            disc_real = discriminator.apply({'params': d_params}, x, y)
+            disc_fake = discriminator.apply({'params': d_params}, x, gen_img)
+            loss_real = bce_loss(disc_real, jnp.ones_like(disc_real))
+            loss_fake = bce_loss(disc_fake, jnp.zeros_like(disc_fake))
+            return (loss_fake + loss_real) / 2.0, (loss_real, loss_fake)
+
+        (d_loss, (loss_real, loss_fake)), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(state.d_params)
+        d_updates, d_opt_state = disc_tx.update(
+            d_grads, state.d_opt_state, state.d_params)
+        d_params = optax.apply_updates(state.d_params, d_updates)
+
+        losses = {'gen': g_loss, 'gen_loss': g_loss, 'gdisc': gdisc,
+                  'discr': loss_real, 'discf': loss_fake, 'disc': d_loss}
+        new_state = TrainState(g_params, d_params, g_opt_state, d_opt_state,
+                               state.step + 1, state.rng)
+        return new_state, losses
+
+    return train_step
+
+
+def make_eval_step(generator, discriminator, loss_type='tversky',
+                   seg_alpha=200.0, tversky_beta=0.75, tversky_gamma=0.75):
+    """Validation pass: same losses, no parameter updates, dropout off
+    (the reference switches to model.eval() for validation,
+    trainer.py:239-250)."""
+    seg_loss = make_seg_loss(loss_type, seg_alpha, tversky_beta,
+                             tversky_gamma)
+
+    def eval_step(state, x, y):
+        g_loss, (gen_img, gdisc) = gan_losses(
+            generator, discriminator, seg_loss, state.g_params,
+            state.d_params, x, y, False, None)
+        disc_real = discriminator.apply({'params': state.d_params}, x, y)
+        disc_fake = discriminator.apply({'params': state.d_params}, x,
+                                        gen_img)
+        loss_real = bce_loss(disc_real, jnp.ones_like(disc_real))
+        loss_fake = bce_loss(disc_fake, jnp.zeros_like(disc_fake))
+        d_loss = (loss_fake + loss_real) / 2.0
+        return {'gen': g_loss, 'gen_loss': g_loss, 'gdisc': gdisc,
+                'discr': loss_real, 'discf': loss_fake, 'disc': d_loss}
+
+    return eval_step

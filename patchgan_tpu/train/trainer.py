@@ -1,0 +1,356 @@
+"""Training runtime: epoch loop, checkpointing, LR schedules, logging.
+
+TPU-native rebuild of the reference Trainer
+(/root/reference/patchgan/trainer.py:16-321). Public surface preserved:
+
+- class attrs ``seg_alpha=200``, ``loss_type='tversky'``,
+  ``tversky_beta=0.75``, ``tversky_gamma=0.75``, ``neptune_config=None``
+  (trainer.py:22-27);
+- ``Trainer(generator, discriminator, savefolder)``; ``batch(x, y, train)``
+  returning the scalar dict with keys
+  ['gen','gen_loss','gdisc','discr','discf','disc'] (trainer.py:109-113);
+- ``train(train_data, val_data, epochs, dsc_learning_rate,
+  gen_learning_rate, save_freq, lr_decay, decay_freq, reduce_on_plateau)``
+  returning (G_loss_ep, D_loss_ep) (trainer.py:117,279);
+- ``save`` / ``load`` / ``load_last_checkpoint`` with the epoch-numbered
+  two-file layout and max-of-union resume rule (trainer.py:281-321), plus
+  the LR fast-forward on resume (trainer.py:155-157).
+
+TPU-first differences: ``generator``/``discriminator`` are Flax module
+definitions (immutable); parameters live in ``self.state`` (a TrainState)
+replicated across a data-parallel device mesh, batches are sharded on the
+mesh, and the whole G+D alternating update runs as one jitted step with
+donated buffers (train/steps.py). Loss scalars are fetched with a
+one-step delay so the host never stalls the device pipeline.
+
+Known reference bugs fixed (SURVEY.md §5 quirks): Q2 (labels allocated on
+a module-global device) is structurally impossible here; Q4
+(ReduceLROnPlateau crashing when neptune is absent) is guarded.
+"""
+
+import os
+import time
+from collections import defaultdict
+
+import jax
+import numpy as np
+import tqdm
+
+from ..parallel.mesh import default_mesh, replicate, shard_batch
+from ..utils import checkpoint as ckpt
+from ..utils.transfer import (disc_key_map, export_state_dict,
+                              load_transfer_data, unet_key_map)
+from .schedulers import (ConstantLR, ExponentialDecay, ReduceLROnPlateau,
+                         resume_fast_forward)
+from .steps import (TrainState, init_train_state, make_eval_step,
+                    make_optimizer, make_train_step)
+
+
+def _set_learning_rate(opt_state, lr):
+    opt_state.hyperparams['learning_rate'] = np.float32(lr)
+    return opt_state
+
+
+class Trainer:
+    '''Training driver: owns the jitted GAN step, the epoch loop, and
+    checkpoint save/resume.'''
+
+    seg_alpha = 200
+    loss_type = 'tversky'
+    tversky_beta = 0.75
+    tversky_gamma = 0.75
+
+    neptune_config = None
+
+    def __init__(self, generator, discriminator, savefolder, device=None,
+                 seed=0, mesh=None):
+        '''generator / discriminator are Flax module definitions
+        (models.UNet / models.Discriminator); savefolder is created if
+        missing, as in the reference (trainer.py:41-46).'''
+        self.generator = generator
+        self.discriminator = discriminator
+
+        if savefolder[-1] != '/':
+            savefolder += '/'
+        self.savefolder = savefolder
+        if not os.path.exists(savefolder):
+            os.makedirs(savefolder, exist_ok=True)
+
+        self.mesh = mesh if mesh is not None else default_mesh()
+        self.seed = seed
+        self.start = 1
+        self.state = None
+        self._step_cache = {}
+        self._pending_state_dicts = None  # (gen_sd, disc_sd) to apply
+
+        # parameter init is shape-independent (all-conv nets): use a tiny
+        # dummy spatial extent. weights_init parity: xavier-uniform conv
+        # kernels are the module defaults (models/blocks.py).
+        gen_tx, disc_tx = self._make_optimizers(1e-3, 1e-3)
+        self.state = init_train_state(
+            generator, discriminator,
+            (1, 64, 64, generator.input_nc), generator.output_nc,
+            gen_tx, disc_tx, seed=seed)
+        self._gen_tx, self._disc_tx = gen_tx, disc_tx
+
+    # ------------------------------------------------------------------
+    # construction helpers
+    # ------------------------------------------------------------------
+    def _make_optimizers(self, gen_lr, dsc_lr):
+        return make_optimizer(gen_lr), make_optimizer(dsc_lr)
+
+    def _keymaps(self):
+        gen_map = unet_key_map()
+        disc_map = disc_key_map(n_layers=self.discriminator.n_layers,
+                                norm=self.discriminator.norm)
+        return gen_map, disc_map
+
+    def _loss_key(self):
+        return (self.loss_type, float(self.seg_alpha),
+                float(self.tversky_beta), float(self.tversky_gamma))
+
+    def _get_step(self, train):
+        key = (train, self._loss_key())
+        if key not in self._step_cache:
+            if train:
+                fn = make_train_step(
+                    self.generator, self.discriminator, self._gen_tx,
+                    self._disc_tx, loss_type=self.loss_type,
+                    seg_alpha=self.seg_alpha,
+                    tversky_beta=self.tversky_beta,
+                    tversky_gamma=self.tversky_gamma)
+                jitted = jax.jit(fn, donate_argnums=(0,))
+            else:
+                fn = make_eval_step(
+                    self.generator, self.discriminator,
+                    loss_type=self.loss_type, seg_alpha=self.seg_alpha,
+                    tversky_beta=self.tversky_beta,
+                    tversky_gamma=self.tversky_gamma)
+                jitted = jax.jit(fn)
+            self._step_cache[key] = jitted
+        return self._step_cache[key]
+
+    def _place_batch(self, x, y):
+        x = np.asarray(x)
+        y = np.asarray(y)
+        n_dev = len(self.mesh.devices.flat)
+        if x.shape[0] % n_dev == 0 and n_dev > 1:
+            return shard_batch((x, y), self.mesh)
+        return jax.device_put((x, y))
+
+    # ------------------------------------------------------------------
+    # the public per-batch entry point (reference trainer.py:50-115)
+    # ------------------------------------------------------------------
+    def batch(self, x, y, train=False):
+        '''Run one G+D step (train=True) or loss evaluation (train=False)
+        on a single NHWC batch. Returns the reference's scalar loss dict.
+        '''
+        x, y = self._place_batch(x, y)
+        if train:
+            self.state, losses = self._get_step(True)(self.state, x, y)
+        else:
+            losses = self._get_step(False)(self.state, x, y)
+        return {k: float(v) for k, v in losses.items()}
+
+    # ------------------------------------------------------------------
+    # epoch loop (reference trainer.py:117-279)
+    # ------------------------------------------------------------------
+    def train(self, train_data, val_data, epochs, dsc_learning_rate=1.e-3,
+              gen_learning_rate=1.e-3, save_freq=10, lr_decay=None,
+              decay_freq=5, reduce_on_plateau=False):
+        '''Training driver; see the reference docstring (trainer.py:
+        120-153) -- semantics preserved, including the LR fast-forward on
+        resume and the decay_freq-gated exponential decay.'''
+        if (lr_decay is not None) and not reduce_on_plateau:
+            gen_lr = resume_fast_forward(gen_learning_rate, lr_decay,
+                                         self.start, decay_freq)
+            dsc_lr = resume_fast_forward(dsc_learning_rate, lr_decay,
+                                         self.start, decay_freq)
+        else:
+            gen_lr = gen_learning_rate
+            dsc_lr = dsc_learning_rate
+
+        if self.neptune_config is not None:
+            self.neptune_config['model/parameters/gen_learning_rate'] = gen_lr
+            self.neptune_config['model/parameters/dsc_learning_rate'] = dsc_lr
+            self.neptune_config['model/parameters/start'] = self.start
+            self.neptune_config['model/parameters/n_epochs'] = epochs
+
+        # fresh Adam state per train() call (reference trainer.py:169-172)
+        self._gen_tx, self._disc_tx = self._make_optimizers(gen_lr, dsc_lr)
+        self._step_cache.clear()
+        self.state = TrainState(
+            g_params=self.state.g_params,
+            d_params=self.state.d_params,
+            g_opt_state=self._gen_tx.init(self.state.g_params),
+            d_opt_state=self._disc_tx.init(self.state.d_params),
+            step=self.state.step,
+            rng=self.state.rng,
+        )
+        self.state = replicate(self.state, self.mesh)
+
+        if reduce_on_plateau:
+            gen_sched = ReduceLROnPlateau(gen_lr)
+            dsc_sched = ReduceLROnPlateau(dsc_lr)
+            if self.neptune_config is not None:  # Q4 fix: guard None
+                self.neptune_config['model/parameters/scheduler'] = \
+                    'ReduceLROnPlateau'
+        elif lr_decay is not None:
+            gen_sched = ExponentialDecay(gen_lr, lr_decay, decay_freq)
+            dsc_sched = ExponentialDecay(dsc_lr, lr_decay, decay_freq)
+            if self.neptune_config is not None:
+                self.neptune_config['model/parameters/scheduler'] = \
+                    'ExponentialLR'
+                self.neptune_config['model/parameters/decay_freq'] = \
+                    decay_freq
+                self.neptune_config['model/parameters/lr_decay'] = lr_decay
+        else:
+            gen_sched = ConstantLR(gen_lr)
+            dsc_sched = ConstantLR(dsc_lr)
+
+        D_loss_ep, G_loss_ep = [], []
+        for epoch in range(self.start, epochs + 1):
+            gen_lr, dsc_lr = gen_sched.lr, dsc_sched.lr
+            print(f"Epoch {epoch} -- lr: {gen_lr:5.3e}, {dsc_lr:5.3e}")
+            print("-------------------------------------------------------")
+
+            self.state = self.state._replace(
+                g_opt_state=_set_learning_rate(self.state.g_opt_state,
+                                               gen_lr),
+                d_opt_state=_set_learning_rate(self.state.d_opt_state,
+                                               dsc_lr))
+
+            loss_mean, n_images, elapsed = self._run_epoch(
+                train_data, train=True, desc='Training: ')
+            D_loss_ep.append(loss_mean['disc'])
+            G_loss_ep.append(loss_mean['gen'])
+            if elapsed > 0:
+                print(f"  {n_images} images in {elapsed:.1f}s "
+                      f"({n_images / elapsed:.1f} img/s)")
+
+            if self.neptune_config is not None:
+                self.neptune_config['train/gen_loss'].append(
+                    loss_mean['gen'])
+                self.neptune_config['train/disc_loss'].append(
+                    loss_mean['disc'])
+
+            loss_mean, _, _ = self._run_epoch(
+                val_data, train=False, desc='Validation: ')
+
+            if self.neptune_config is not None:
+                self.neptune_config['eval/gen_loss'].append(
+                    loss_mean['gen'])
+                self.neptune_config['eval/disc_loss'].append(
+                    loss_mean['disc'])
+
+            # plateau steps on the VALIDATION means, exponential on the
+            # epoch count (reference trainer.py:266-273)
+            gen_sched.epoch_end(epoch, loss_mean.get('gen'))
+            dsc_sched.epoch_end(epoch, loss_mean.get('disc'))
+
+            if epoch % save_freq == 0:
+                self.save(epoch)
+
+        self.start = epochs + 1
+        return G_loss_ep, D_loss_ep
+
+    def _run_epoch(self, data, train, desc):
+        if hasattr(data, 'shuffle'):
+            data.shuffle()
+        step = self._get_step(train)
+        pbar = tqdm.tqdm(data, desc=desc, dynamic_ncols=True)
+        sums = defaultdict(float)
+        count = 0
+        pending = None  # one-step delay: don't stall the device pipeline
+        n_images = 0
+        t0 = time.perf_counter()
+        for input_img, target_mask in pbar:
+            n_images += np.shape(input_img)[0]
+            x, y = self._place_batch(input_img, target_mask)
+            if train:
+                self.state, losses = step(self.state, x, y)
+            else:
+                losses = step(self.state, x, y)
+            if pending is not None:
+                self._accumulate(sums, pending)
+                count += 1
+                pbar.set_postfix_str(self._format_losses(sums, count))
+            pending = losses
+        if pending is not None:
+            self._accumulate(sums, pending)
+            count += 1
+            pbar.set_postfix_str(self._format_losses(sums, count))
+        elapsed = time.perf_counter() - t0
+        loss_mean = {k: v / max(count, 1) for k, v in sums.items()}
+        return loss_mean, n_images, elapsed
+
+    @staticmethod
+    def _accumulate(sums, losses):
+        for key, value in losses.items():
+            sums[key] += float(value)
+
+    @staticmethod
+    def _format_losses(sums, count):
+        return " ".join(f"{key}: {value / count:.2e}"
+                        for key, value in sums.items())
+
+    # ------------------------------------------------------------------
+    # checkpointing (reference trainer.py:281-321)
+    # ------------------------------------------------------------------
+    def save(self, epoch):
+        gen_savefile = f'{self.savefolder}generator_ep_{epoch:03d}.npz'
+        disc_savefile = f'{self.savefolder}discriminator_ep_{epoch:03d}.npz'
+        print(f"Saving to {gen_savefile} and {disc_savefile}")
+        gen_map, disc_map = self._keymaps()
+        g_params = jax.device_get(self.state.g_params)
+        d_params = jax.device_get(self.state.d_params)
+        ckpt.save_state_dict(gen_savefile,
+                             export_state_dict(g_params, gen_map))
+        ckpt.save_state_dict(disc_savefile,
+                             export_state_dict(d_params, disc_map))
+
+    def load(self, generator_save, discriminator_save):
+        print(generator_save, discriminator_save)
+        gen_sd = ckpt.load_state_dict(generator_save)
+        disc_sd = ckpt.load_state_dict(discriminator_save)
+        gen_map, disc_map = self._keymaps()
+        g_params, g_count = load_transfer_data(
+            self.state.g_params, gen_sd, gen_map, verbose=False)
+        d_params, d_count = load_transfer_data(
+            self.state.d_params, disc_sd, disc_map, verbose=False)
+        if g_count < len(gen_map) or d_count < len(disc_map):
+            raise ValueError(
+                f"Checkpoint mismatch: loaded {g_count}/{len(gen_map)} "
+                f"generator and {d_count}/{len(disc_map)} discriminator "
+                "weights")
+        self.state = self.state._replace(g_params=g_params,
+                                         d_params=d_params)
+        gfname = os.path.basename(generator_save)
+        dfname = os.path.basename(discriminator_save)
+        print(f"Loaded checkpoints from {gfname} and {dfname}")
+
+    def load_last_checkpoint(self):
+        try:
+            last, gen_path, disc_path = ckpt.find_last_checkpoint(
+                self.savefolder)
+            self.load(gen_path, disc_path)
+            self.start = last + 1
+        except Exception as e:
+            print(e)
+            print("Checkpoints not loaded")
+
+    # ------------------------------------------------------------------
+    # transfer learning (reference train.py:112-116)
+    # ------------------------------------------------------------------
+    def load_transfer_checkpoints(self, gen_checkpoint, disc_checkpoint):
+        '''Shape-matched partial load of torch/.npz checkpoints for
+        transfer learning (reference transfer.py:8-22 semantics).'''
+        gen_map, disc_map = self._keymaps()
+        gen_sd = ckpt.load_state_dict(gen_checkpoint)
+        g_params, _ = load_transfer_data(self.state.g_params, gen_sd,
+                                         gen_map)
+        disc_sd = ckpt.load_state_dict(disc_checkpoint)
+        d_params, _ = load_transfer_data(self.state.d_params, disc_sd,
+                                         disc_map)
+        self.state = self.state._replace(g_params=g_params,
+                                         d_params=d_params)

@@ -1,0 +1,110 @@
+"""Op-level golden parity vs torch: conv, transposed conv, instance norm,
+and the concat-fusion identities (ops/conv.py, ops/norm.py)."""
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+from patchgan_tpu.ops import conv2d, conv_transpose2d, instance_norm
+from patchgan_tpu.utils.transfer import (conv_kernel_to_jax,
+                                         convT_kernel_to_jax)
+
+
+def _nhwc(x_nchw):
+    return np.transpose(x_nchw, (0, 2, 3, 1))
+
+
+def _nchw(x_nhwc):
+    return np.transpose(np.asarray(x_nhwc), (0, 3, 1, 2))
+
+
+def test_conv2d_matches_torch(rng):
+    x = rng.normal(size=(2, 3, 16, 16)).astype(np.float32)
+    w = rng.normal(size=(8, 3, 4, 4)).astype(np.float32) * 0.1
+    expected = F.conv2d(torch.tensor(x), torch.tensor(w), stride=2, padding=1)
+    got = conv2d(_nhwc(x), conv_kernel_to_jax(w), stride=2, padding=1)
+    np.testing.assert_allclose(_nchw(got), expected.numpy(),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_conv2d_bias_matches_torch(rng):
+    x = rng.normal(size=(2, 4, 10, 10)).astype(np.float32)
+    w = rng.normal(size=(6, 4, 4, 4)).astype(np.float32) * 0.1
+    b = rng.normal(size=(6,)).astype(np.float32)
+    expected = F.conv2d(torch.tensor(x), torch.tensor(w), torch.tensor(b),
+                        stride=1, padding=1)
+    got = conv2d(_nhwc(x), conv_kernel_to_jax(w), stride=1, padding=1,
+                 bias=b)
+    np.testing.assert_allclose(_nchw(got), expected.numpy(),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_conv_transpose2d_matches_torch(rng):
+    # torch ConvTranspose2d(k=4, s=2, p=1): H_out = 2*H
+    x = rng.normal(size=(2, 8, 7, 9)).astype(np.float32)
+    w = rng.normal(size=(8, 5, 4, 4)).astype(np.float32) * 0.1  # (I, O, k, k)
+    expected = F.conv_transpose2d(torch.tensor(x), torch.tensor(w),
+                                  stride=2, padding=1)
+    got = conv_transpose2d(_nhwc(x), convT_kernel_to_jax(w),
+                           stride=2, padding=1)
+    assert got.shape == (2, 14, 18, 5)
+    np.testing.assert_allclose(_nchw(got), expected.numpy(),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_conv_concat_fusion_identity(rng):
+    """conv(cat([a, b]), w) == conv(a, w[:Ca]) + conv(b, w[Ca:])."""
+    a = rng.normal(size=(1, 8, 8, 3)).astype(np.float32)
+    b = rng.normal(size=(1, 8, 8, 5)).astype(np.float32)
+    w = rng.normal(size=(4, 4, 8, 6)).astype(np.float32) * 0.1
+    cat = np.concatenate([a, b], axis=-1)
+    full = conv2d(cat, w, stride=2, padding=1)
+    fused = conv2d(a, w, stride=2, padding=1, x2=b)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(full),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_convT_concat_fusion_identity(rng):
+    a = rng.normal(size=(1, 4, 4, 6)).astype(np.float32)
+    b = rng.normal(size=(1, 4, 4, 2)).astype(np.float32)
+    w = rng.normal(size=(4, 4, 8, 3)).astype(np.float32) * 0.1
+    cat = np.concatenate([a, b], axis=-1)
+    full = conv_transpose2d(cat, w)
+    fused = conv_transpose2d(a, w, x2=b)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(full),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_instance_norm_matches_torch(rng):
+    x = rng.normal(size=(3, 6, 10, 10)).astype(np.float32) * 3 + 1
+    expected = F.instance_norm(torch.tensor(x), eps=1e-5)
+    got = instance_norm(_nhwc(x), eps=1e-5, use_pallas=False)
+    np.testing.assert_allclose(_nchw(got), expected.numpy(),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_instance_norm_fused_activation(rng):
+    x = rng.normal(size=(2, 4, 4, 3)).astype(np.float32)
+    xn = _nhwc(x.transpose(0, 3, 1, 2))  # just use as-is NHWC
+    plain = instance_norm(x, use_pallas=False)
+    fused = instance_norm(x, activation='leakyrelu', use_pallas=False)
+    expected = np.where(np.asarray(plain) >= 0, np.asarray(plain),
+                        0.2 * np.asarray(plain))
+    np.testing.assert_allclose(np.asarray(fused), expected, rtol=1e-5,
+                               atol=1e-6)
+    del xn
+
+
+def test_instance_norm_bf16_fp32_stats(rng):
+    import jax.numpy as jnp
+    # large offset: bf16-accumulated statistics would be catastrophically
+    # wrong. Compare against fp32 normalisation of the SAME bf16-rounded
+    # input so only the statistics/normalisation precision is measured.
+    x = (rng.normal(size=(1, 32, 32, 4)) + 100.0).astype(np.float32)
+    x_bf16 = jnp.asarray(x, jnp.bfloat16)
+    ref = instance_norm(np.asarray(x_bf16, dtype=np.float32),
+                        use_pallas=False)
+    got = instance_norm(x_bf16, use_pallas=False)
+    assert np.asarray(got).dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, dtype=np.float32),
+                               np.asarray(ref), atol=0.05)
