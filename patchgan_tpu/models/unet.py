@@ -46,6 +46,16 @@ class UNet(nn.Module):
     @nn.compact
     def __call__(self, x, train=False, return_hidden=False):
         filts = unet_filters(self.nf)
+        h, w = x.shape[1], x.shape[2]
+        stride_total = 2 ** N_LEVELS
+        if h % stride_total or w % stride_total:
+            # 7 stride-2 levels need spatial dims divisible by 128; the
+            # torch reference has the same implicit constraint (it crashes
+            # on the skip torch.cat otherwise, and its InstanceNorm
+            # additionally rejects the 1x1 bottleneck below 256px).
+            raise ValueError(
+                f"UNet input spatial dims must be multiples of "
+                f"{stride_total}; got {h}x{w}")
         x = x.astype(self.dtype)
 
         skips = []

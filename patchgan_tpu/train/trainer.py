@@ -89,7 +89,7 @@ class Trainer:
         gen_tx, disc_tx = self._make_optimizers(1e-3, 1e-3)
         self.state = init_train_state(
             generator, discriminator,
-            (1, 64, 64, generator.input_nc), generator.output_nc,
+            (1, 128, 128, generator.input_nc), generator.output_nc,
             gen_tx, disc_tx, seed=seed)
         self._gen_tx, self._disc_tx = gen_tx, disc_tx
 
@@ -150,7 +150,10 @@ class Trainer:
             self.state, losses = self._get_step(True)(self.state, x, y)
         else:
             losses = self._get_step(False)(self.state, x, y)
-        return {k: float(v) for k, v in losses.items()}
+        # jit canonicalises dict ordering; restore the reference's key
+        # order (trainer.py:109)
+        keys = ['gen', 'gen_loss', 'gdisc', 'discr', 'discf', 'disc']
+        return {k: float(losses[k]) for k in keys}
 
     # ------------------------------------------------------------------
     # epoch loop (reference trainer.py:117-279)

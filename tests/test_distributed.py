@@ -1,0 +1,76 @@
+"""Data-parallel correctness on a forced 8-device CPU mesh (SURVEY.md §4):
+the sharded train step must produce the same losses and parameter updates
+as the single-device step on the identical concatenated batch."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from patchgan_tpu.models import Discriminator, UNet
+from patchgan_tpu.parallel.mesh import (batch_sharding, default_mesh,
+                                        replicate, shard_batch)
+from patchgan_tpu.train.steps import (init_train_state, make_optimizer,
+                                      make_train_step)
+
+
+@pytest.fixture(scope='module')
+def setup():
+    gen = UNet(input_nc=3, output_nc=1, nf=4, final_act='sigmoid',
+               use_pallas=False)
+    disc = Discriminator(input_nc=4, ndf=4, n_layers=2, use_pallas=False)
+    gen_tx, disc_tx = make_optimizer(1e-3), make_optimizer(1e-3)
+    state = init_train_state(gen, disc, (1, 128, 128, 3), 1, gen_tx,
+                             disc_tx, seed=0)
+    step = make_train_step(gen, disc, gen_tx, disc_tx)
+    rng = np.random.default_rng(0)
+    x = rng.uniform(size=(8, 128, 128, 3)).astype(np.float32)
+    y = (rng.uniform(size=(8, 128, 128, 1)) > 0.5).astype(np.float32)
+    return state, step, x, y
+
+
+def test_mesh_has_8_devices():
+    mesh = default_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_sharded_step_matches_single_device(setup):
+    state, step, x, y = setup
+    # single device
+    single = jax.jit(step)
+    new_single, losses_single = single(state, jnp.asarray(x),
+                                       jnp.asarray(y))
+
+    # 8-way data parallel
+    mesh = default_mesh()
+    state_r = replicate(state, mesh)
+    xs, ys = shard_batch((x, y), mesh)
+    assert xs.sharding == batch_sharding(mesh)
+    sharded = jax.jit(step)
+    new_sharded, losses_sharded = sharded(state_r, xs, ys)
+
+    for k in losses_single:
+        np.testing.assert_allclose(
+            np.asarray(losses_single[k]), np.asarray(losses_sharded[k]),
+            rtol=2e-4, atol=1e-5)
+
+    for a, b in zip(jax.tree_util.tree_leaves(new_single.g_params),
+                    jax.tree_util.tree_leaves(new_sharded.g_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=2e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(new_single.d_params),
+                    jax.tree_util.tree_leaves(new_sharded.d_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=2e-4)
+
+
+def test_sharded_losses_replicated_output(setup):
+    state, step, x, y = setup
+    mesh = default_mesh()
+    state_r = replicate(state, mesh)
+    xs, ys = shard_batch((x, y), mesh)
+    _, losses = jax.jit(step)(state_r, xs, ys)
+    # loss scalars must be fully replicated (addressable on any device)
+    val = losses['gen']
+    assert val.shape == ()
+    assert np.isfinite(float(val))

@@ -20,10 +20,10 @@ def test_unet_filter_ladder():
 
 def test_unet_output_shape_and_softmax():
     model = UNet(input_nc=3, output_nc=5, nf=8, final_act='softmax')
-    x = jnp.zeros((2, 64, 64, 3))
+    x = jnp.zeros((2, 128, 128, 3))
     params = _init(model, x)
     out = model.apply({'params': params}, x)
-    assert out.shape == (2, 64, 64, 5)
+    assert out.shape == (2, 128, 128, 5)
     np.testing.assert_allclose(np.sum(np.asarray(out), axis=-1), 1.0,
                                rtol=1e-5)
 
@@ -50,7 +50,7 @@ def test_unet_256_bottleneck_2x2():
 def test_unet_param_shapes():
     nf = 8
     model = UNet(input_nc=3, output_nc=2, nf=nf)
-    params = _init(model, jnp.zeros((1, 64, 64, 3)))
+    params = _init(model, jnp.zeros((1, 128, 128, 3)))
     filts = unet_filters(nf)
     # encoder kernels: (4, 4, prev, filt)
     prev = 3
@@ -67,7 +67,7 @@ def test_unet_param_shapes():
 def test_unet_dropout_train_vs_eval():
     model = UNet(input_nc=3, output_nc=1, nf=8, use_dropout=True,
                  final_act='sigmoid')
-    x = jnp.ones((1, 64, 64, 3))
+    x = jnp.ones((1, 128, 128, 3))
     params = _init(model, x)
     out_eval_1 = model.apply({'params': params}, x, train=False)
     out_eval_2 = model.apply({'params': params}, x, train=False)
@@ -83,7 +83,7 @@ def test_unet_dropout_train_vs_eval():
 @pytest.mark.parametrize('n_layers', [1, 3, 5])
 def test_disc_output_shape(n_layers):
     model = Discriminator(input_nc=4, ndf=8, n_layers=n_layers)
-    x = jnp.zeros((2, 64, 64, 3))
+    x = jnp.zeros((2, 128, 128, 3))
     y = jnp.zeros((2, 64, 64, 1))
     params = _init(model, x, y)
     out = model.apply({'params': params}, x, y)
@@ -132,7 +132,7 @@ def test_param_count_matches_torch_reference():
     nf, in_ch, out_ch = 8, 3, 2
 
     model = UNet(input_nc=in_ch, output_nc=out_ch, nf=nf)
-    params = _init(model, jnp.zeros((1, 64, 64, in_ch)))
+    params = _init(model, jnp.zeros((1, 128, 128, in_ch)))
     ours = sum(np.size(x) for x in jax.tree_util.tree_leaves(params))
 
     # expected from the reference ladder: encoder convs + decoder convTs,

@@ -1,0 +1,183 @@
+"""Trainer integration: single batch step, loss-dict keys, epoch loop on
+synthetic data, checkpoint save/resume, transfer loading, LR schedules
+(reference trainer.py semantics)."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from patchgan_tpu.models import Discriminator, UNet
+from patchgan_tpu.train import Trainer
+from patchgan_tpu.train.schedulers import (ReduceLROnPlateau,
+                                           resume_fast_forward)
+
+NF = 4
+SIZE = 128
+
+
+def make_trainer(tmp_path, **kwargs):
+    gen = UNet(input_nc=3, output_nc=1, nf=NF, final_act='sigmoid',
+               use_pallas=False)
+    disc = Discriminator(input_nc=4, ndf=NF, n_layers=2, use_pallas=False)
+    return Trainer(gen, disc, str(tmp_path / 'ckpt'), **kwargs)
+
+
+def synth_batch(rng, n=4):
+    x = rng.uniform(size=(n, SIZE, SIZE, 3)).astype(np.float32)
+    y = (rng.uniform(size=(n, SIZE, SIZE, 1)) > 0.5).astype(np.float32)
+    return x, y
+
+
+def synth_loader(rng, n_batches=2, n=4):
+    return [synth_batch(rng, n) for _ in range(n_batches)]
+
+
+def test_batch_returns_reference_loss_keys(tmp_path, rng):
+    trainer = make_trainer(tmp_path)
+    x, y = synth_batch(rng)
+    losses = trainer.batch(x, y, train=False)
+    # exact reference key set, with gen == gen_loss duplicated
+    # (trainer.py:109-111)
+    assert list(losses) == ['gen', 'gen_loss', 'gdisc', 'discr', 'discf',
+                            'disc']
+    assert losses['gen'] == losses['gen_loss']
+    assert all(np.isfinite(v) for v in losses.values())
+
+
+def test_train_batch_decreases_loss(tmp_path, rng):
+    trainer = make_trainer(tmp_path)
+    trainer.seg_alpha = 200
+    x, y = synth_batch(rng, n=2)
+    first = trainer.batch(x, y, train=True)
+    for _ in range(10):
+        last = trainer.batch(x, y, train=True)
+    assert last['gen'] < first['gen']
+
+
+def test_eval_does_not_update_params(tmp_path, rng):
+    trainer = make_trainer(tmp_path)
+    x, y = synth_batch(rng, n=2)
+    before = jax.device_get(trainer.state.g_params)
+    trainer.batch(x, y, train=False)
+    after = jax.device_get(trainer.state.g_params)
+    for a, b in zip(jax.tree_util.tree_leaves(before),
+                    jax.tree_util.tree_leaves(after)):
+        np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize('loss_type', ['tversky', 'weighted_bce', 'MAE'])
+def test_loss_types(tmp_path, rng, loss_type):
+    trainer = make_trainer(tmp_path)
+    trainer.loss_type = loss_type
+    x, y = synth_batch(rng, n=2)
+    losses = trainer.batch(x, y, train=True)
+    assert np.isfinite(losses['gen'])
+
+
+def test_train_epoch_loop_and_checkpoints(tmp_path, rng):
+    trainer = make_trainer(tmp_path)
+    train_data = synth_loader(rng, 2, 4)
+    val_data = synth_loader(rng, 1, 4)
+    g_hist, d_hist = trainer.train(train_data, val_data, epochs=2,
+                                   save_freq=1)
+    assert len(g_hist) == 2 and len(d_hist) == 2
+    folder = trainer.savefolder
+    for ep in (1, 2):
+        assert os.path.exists(f'{folder}generator_ep_{ep:03d}.npz')
+        assert os.path.exists(f'{folder}discriminator_ep_{ep:03d}.npz')
+    assert trainer.start == 3
+
+
+def test_resume_from_last_checkpoint(tmp_path, rng):
+    trainer = make_trainer(tmp_path)
+    data = synth_loader(rng, 1, 2)
+    trainer.train(data, data, epochs=2, save_freq=1)
+    saved = jax.device_get(trainer.state.g_params)
+
+    trainer2 = make_trainer(tmp_path, seed=123)
+    trainer2.load_last_checkpoint()
+    assert trainer2.start == 3  # max epoch + 1 (trainer.py:308)
+    loaded = jax.device_get(trainer2.state.g_params)
+    for a, b in zip(jax.tree_util.tree_leaves(saved),
+                    jax.tree_util.tree_leaves(loaded)):
+        np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_resume_missing_checkpoint_degrades_gracefully(tmp_path, capsys):
+    trainer = make_trainer(tmp_path)
+    trainer.load_last_checkpoint()  # no checkpoints yet
+    assert trainer.start == 1
+    assert 'not loaded' in capsys.readouterr().out
+
+
+def test_transfer_load_partial(tmp_path, rng):
+    # generator checkpoint from a model with DIFFERENT output_nc: all but
+    # the final decoder kernel should transfer (shape-matched partial copy,
+    # reference transfer.py:11-17)
+    trainer = make_trainer(tmp_path)
+    trainer.save(1)
+
+    gen2 = UNet(input_nc=3, output_nc=3, nf=NF, final_act='softmax',
+                use_pallas=False)
+    disc2 = Discriminator(input_nc=6, ndf=NF, n_layers=2, use_pallas=False)
+    trainer2 = Trainer(gen2, disc2, str(tmp_path / 'ckpt2'))
+    before = jax.device_get(trainer2.state.g_params)
+    trainer2.load_transfer_checkpoints(
+        f'{trainer.savefolder}generator_ep_001.npz',
+        f'{trainer.savefolder}discriminator_ep_001.npz')
+    after = jax.device_get(trainer2.state.g_params)
+    # enc0 transferred
+    np.testing.assert_allclose(
+        after['enc0']['kernel'],
+        jax.device_get(trainer.state.g_params)['enc0']['kernel'], rtol=1e-6)
+    # final decoder kernel shape differs -> untouched
+    np.testing.assert_array_equal(after['dec6']['kernel'],
+                                  before['dec6']['kernel'])
+
+
+def test_transfer_load_from_torch_pth(tmp_path):
+    torch = pytest.importorskip('torch')
+    import sys
+    if '/root/reference' not in sys.path:
+        sys.path.insert(0, '/root/reference')
+    try:
+        from patchgan.unet import UNet as TorchUNet
+    except Exception as e:
+        pytest.skip(f"reference not importable: {e}")
+
+    torch.manual_seed(0)
+    tmodel = TorchUNet(3, 1, nf=NF, activation='tanh', final_act='sigmoid')
+    pth = str(tmp_path / 'gen.pth')
+    torch.save(tmodel.state_dict(), pth)
+
+    trainer = make_trainer(tmp_path)
+    from patchgan_tpu.utils import checkpoint as ckpt
+    from patchgan_tpu.utils.transfer import load_transfer_data, unet_key_map
+    sd = ckpt.load_state_dict(pth)
+    params, count = load_transfer_data(
+        jax.device_get(trainer.state.g_params), sd, unet_key_map(),
+        verbose=False)
+    assert count == 14
+    np.testing.assert_allclose(
+        params['enc0']['kernel'],
+        tmodel.encoder[0].model.DownConv0.weight.detach().numpy()
+        .transpose(2, 3, 1, 0), rtol=1e-6)
+
+
+def test_exponential_lr_fast_forward():
+    # reference trainer.py:155-157: float-division exponent
+    assert resume_fast_forward(1e-3, 0.95, 6, 5) == pytest.approx(
+        1e-3 * 0.95 ** (5 / 5))
+    assert resume_fast_forward(1e-3, 0.95, 4, 5) == pytest.approx(
+        1e-3 * 0.95 ** (3 / 5))
+
+
+def test_reduce_on_plateau_matches_torch_defaults():
+    sched = ReduceLROnPlateau(1.0)
+    # 1 good epoch then 11 bad ones -> one decay by 0.1 (patience=10)
+    sched.epoch_end(1, 1.0)
+    for ep in range(2, 13):
+        sched.epoch_end(ep, 1.0)
+    assert sched.lr == pytest.approx(0.1)
