@@ -1,0 +1,125 @@
+"""``patchgan_infer`` console entry point.
+
+Public surface parity with the reference CLI
+(/root/reference/patchgan/infer.py:71-174): same flags, flat
+``model_params`` schema (gen_filts / disc_filts / n_disc_layers /
+activation / final_activation — the nested schema is accepted too),
+``checkpoint_paths.{generator,discriminator}``, ``infer_params``
+(output_path / threshold default 0 / overlap default 0.9), the
+``get_filename`` / ``save_mask`` dataset protocol, overlap tiling with
+averaging stitch and argmax/threshold postprocessing.
+
+Differences (deliberate): the built-in COCOStuffDataset supports
+inference out of the box (reference quirk Q5); the discriminator
+checkpoint key is accepted but the discriminator is not loaded since
+inference never uses it (quirk Q7); tiles run through a fixed-bucket
+jitted forward instead of one variable-size batch per image.
+"""
+
+import argparse
+import os
+
+import tqdm
+
+from ..inference import InferenceEngine
+from ..models import UNet
+from ..utils import checkpoint as ckpt
+from ..utils.config import load_config, model_params
+from ..utils.summary import summarize
+from ..utils.transfer import load_transfer_data, unet_key_map
+from .common import build_dataset_factory, compute_dtype, select_device
+
+
+def patchgan_infer(argv=None):
+    parser = argparse.ArgumentParser(
+        prog='PatchGAN',
+        description='Run tiled PatchGAN inference'
+    )
+    parser.add_argument('-c', '--config_file', required=True, type=str,
+                        help='Location of the config YAML file')
+    parser.add_argument('--dataloader_workers', default=4, type=int,
+                        help='(accepted for parity; decode is streamed)')
+    parser.add_argument('-d', '--device', default='auto',
+                        help="Device to use: 'auto', 'tpu' or 'cpu'")
+    parser.add_argument('--summary', default=True, action='store_true',
+                        help='Print summary of the models')
+    parser.add_argument('--dtype', default='auto',
+                        choices=['auto', 'float32', 'bfloat16'])
+    args = parser.parse_args(argv)
+
+    platform = select_device(args.device)
+    dtype = compute_dtype(args.dtype, platform)
+    print(f"Running with {platform}")
+
+    config = load_config(args.config_file)
+
+    dataset_params = config['dataset']
+    dataset_path = dataset_params['dataset_path']
+    size = dataset_params.get('size', 256)
+
+    Dataset, in_channels, out_channels, ds_kwargs = \
+        build_dataset_factory(dataset_params)
+
+    assert hasattr(Dataset, 'get_filename') and \
+        callable(Dataset.get_filename), \
+        f"Dataset class {Dataset.__name__} must have the get_filename " \
+        "method which returns the image filename for a given index"
+    assert hasattr(Dataset, 'save_mask') and callable(Dataset.save_mask), \
+        f"Dataset class {Dataset.__name__} must have the save_mask " \
+        "method to save a mask cube for a given filename"
+
+    datagen = Dataset(dataset_path, **ds_kwargs)
+
+    gen_cfg, _ = model_params(config)
+    generator = UNet(input_nc=in_channels, output_nc=out_channels,
+                     nf=gen_cfg['filters'],
+                     activation=gen_cfg['activation'],
+                     final_act=gen_cfg['final_activation'], dtype=dtype)
+
+    import jax
+    import jax.numpy as jnp
+    g_params = generator.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 128, 128, in_channels)))['params']
+
+    checkpoint_paths = config['checkpoint_paths']
+    gen_sd = ckpt.load_state_dict(checkpoint_paths['generator'])
+    g_params, count = load_transfer_data(
+        jax.device_get(g_params), gen_sd, unet_key_map(), verbose=False)
+    keymap_size = len(unet_key_map())
+    if count < keymap_size:
+        raise ValueError(
+            f"Generator checkpoint mismatch: {count}/{keymap_size} "
+            "weights loaded")
+    # quirk Q7: the discriminator checkpoint key is accepted but never
+    # used at inference; skip the load entirely.
+
+    if args.summary:
+        summarize('UNet generator', g_params, (1, size, size, in_channels))
+
+    infer_params = config.get('infer_params', {})
+    output_path = infer_params.get('output_path', 'predictions/')
+    if not os.path.exists(output_path):
+        os.makedirs(output_path)
+        print(f"Created folder {output_path}")
+
+    threshold = infer_params.get('threshold', 0)
+    overlap = infer_params.get('overlap', 0.9)
+
+    engine = InferenceEngine(generator, g_params, size=size,
+                             overlap=overlap, threshold=threshold)
+
+    for i in tqdm.tqdm(range(len(datagen)), desc='Predicting',
+                       dynamic_ncols=True, ascii=True):
+        if hasattr(datagen, 'get_image'):
+            image = datagen.get_image(i)
+        else:
+            item = datagen[i]
+            image = item[0] if isinstance(item, tuple) else item
+        out_fname, _ = os.path.splitext(datagen.get_filename(i))
+        mask = engine.predict_image(image)
+        Dataset.save_mask(mask, output_path, out_fname)
+
+
+if __name__ == '__main__':
+    patchgan_infer()

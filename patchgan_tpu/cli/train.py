@@ -1,0 +1,135 @@
+"""``patchgan_train`` console entry point.
+
+Public surface parity with the reference CLI
+(/root/reference/patchgan/train.py:13-127): same flags
+(-c/--config_file, -b/--batch_size, --dataloader_workers, -n/--n_epochs,
+-d/--device, --summary), same YAML sections (dataset / model_params /
+checkpoint_path / load_last_checkpoint / transfer_learn / train_params),
+both model_params schemas accepted (quirk Q1 fix), the CWD io.py plugin
+dataset protocol, resume-from-last-checkpoint and torch-checkpoint
+transfer learning.
+
+TPU-first additions: ``--dtype`` (bf16 compute on TPU by default), data
+sharded over the local device mesh, on-device augmentation.
+"""
+
+import argparse
+
+from ..data import COCOStuffDataset, DataLoader
+from ..data.split import random_split
+from ..models import Discriminator, UNet
+from ..utils.config import dataset_paths, load_config, model_params
+from ..utils.summary import summarize
+from .common import build_dataset_factory, compute_dtype, select_device
+
+
+def patchgan_train(argv=None):
+    parser = argparse.ArgumentParser(
+        prog='PatchGAN',
+        description='Train the PatchGAN architecture'
+    )
+    parser.add_argument('-c', '--config_file', required=True, type=str,
+                        help='Location of the config YAML file')
+    parser.add_argument('-b', '--batch_size', default=16, type=int,
+                        help='Number of images per batch')
+    parser.add_argument('--dataloader_workers', default=4, type=int,
+                        help='Number of decode workers for the input '
+                             'pipeline (0 disables threading)')
+    parser.add_argument('-n', '--n_epochs', required=True, type=int,
+                        help='Number of epochs to train the model')
+    parser.add_argument('-d', '--device', default='auto',
+                        help="Device to train on: 'auto', 'tpu' or 'cpu'")
+    parser.add_argument('--summary', default=True, action='store_true',
+                        help='Print summary of the models')
+    parser.add_argument('--dtype', default='auto',
+                        choices=['auto', 'float32', 'bfloat16'],
+                        help='Compute dtype (default: bf16 on TPU, fp32 '
+                             'elsewhere)')
+    parser.add_argument('--seed', default=0, type=int)
+    args = parser.parse_args(argv)
+
+    platform = select_device(args.device)
+    dtype = compute_dtype(args.dtype, platform)
+
+    config = load_config(args.config_file)
+
+    dataset_params = config['dataset']
+    train_paths, val_paths, data_paths, split = dataset_paths(config)
+    size = dataset_params.get('size', 256)
+    augmentation = dataset_params.get('augmentation', 'randomcrop')
+
+    Dataset, in_channels, out_channels, ds_kwargs = \
+        build_dataset_factory(dataset_params)
+
+    def make_ds(paths):
+        if Dataset is COCOStuffDataset:
+            return Dataset(paths['images'], paths['masks'], size=size,
+                           augmentation=augmentation, **ds_kwargs)
+        return Dataset(paths['images'], paths['masks'], size=size,
+                       augmentation=augmentation, **ds_kwargs)
+
+    if split is None:
+        train_datagen = make_ds(train_paths)
+        val_datagen = make_ds(val_paths)
+    else:
+        datagen = make_ds(data_paths)
+        train_datagen, val_datagen = random_split(datagen, split,
+                                                  seed=args.seed)
+
+    import jax
+    from ..parallel.mesh import default_mesh
+    mesh = default_mesh()
+
+    loader_kwargs = dict(batch_size=args.batch_size, shuffle=True,
+                         num_workers=max(args.dataloader_workers, 1),
+                         mesh=mesh, dtype=dtype, seed=args.seed)
+    train_data = DataLoader(train_datagen, drop_last=True, **loader_kwargs)
+    val_data = DataLoader(val_datagen, drop_last=False, **loader_kwargs)
+
+    gen_cfg, disc_cfg = model_params(config)
+    generator = UNet(input_nc=in_channels, output_nc=out_channels,
+                     nf=gen_cfg['filters'],
+                     use_dropout=gen_cfg['use_dropout'],
+                     activation=gen_cfg['activation'],
+                     final_act=gen_cfg['final_activation'], dtype=dtype)
+    discriminator = Discriminator(input_nc=in_channels + out_channels,
+                                  ndf=disc_cfg['filters'],
+                                  norm=disc_cfg['norm'],
+                                  n_layers=disc_cfg['n_layers'],
+                                  dtype=dtype)
+
+    checkpoint_path = config.get('checkpoint_path', './checkpoints/')
+
+    from ..train import Trainer
+    trainer = Trainer(generator, discriminator, savefolder=checkpoint_path,
+                      seed=args.seed, mesh=mesh)
+
+    if args.summary:
+        summarize('UNet generator',
+                  jax.device_get(trainer.state.g_params),
+                  (1, size, size, in_channels))
+        summarize('Discriminator',
+                  jax.device_get(trainer.state.d_params),
+                  (1, size, size, in_channels + out_channels))
+
+    if config.get('load_last_checkpoint', False):
+        trainer.load_last_checkpoint()
+    elif config.get('transfer_learn', {}).get('generator_checkpoint',
+                                              None) is not None:
+        trainer.load_transfer_checkpoints(
+            config['transfer_learn']['generator_checkpoint'],
+            config['transfer_learn']['discriminator_checkpoint'])
+
+    train_params = config['train_params']
+    trainer.loss_type = train_params['loss_type']
+    trainer.seg_alpha = train_params['seg_alpha']
+
+    trainer.train(train_data, val_data, args.n_epochs,
+                  dsc_learning_rate=train_params['disc_learning_rate'],
+                  gen_learning_rate=train_params['gen_learning_rate'],
+                  lr_decay=train_params.get('decay_rate', None),
+                  save_freq=train_params.get('save_freq', 10))
+
+
+if __name__ == '__main__':
+    patchgan_train()

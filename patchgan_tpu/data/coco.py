@@ -1,0 +1,132 @@
+"""COCO-Stuff style dataset: paired ``*.jpg`` images and ``*.png`` masks.
+
+Behaviour parity with the reference COCOStuffDataset
+(/root/reference/patchgan/io.py:10-58):
+- globs sorted ``*.jpg`` / ``*.png`` from the two folders and asserts the
+  integer basename IDs line up (io.py:14-22);
+- images decode to RGB floats in [0, 1]; mask label values are the PNG
+  grayscale value **+ 1** (io.py:42-43);
+- the one-hot mask has one channel per entry of the sorted ``labels``
+  list (io.py:54-56);
+- augmentation vocabulary (io.py:24-31, quirk Q3 documented in
+  SURVEY.md): ``'randomcrop'`` resizes to (size, size) (the reference's
+  misnomer), ``'randomcrop+flip'`` resizes and random-flips
+  horizontally/vertically with p=0.25 each, and any other value
+  (including the default ``'resize'``) applies no transform at all.
+
+TPU-first deviations (deliberate fixes):
+- masks are resized with NEAREST interpolation (the reference bilinearly
+  interpolates label values through its stacked-tensor Resize, silently
+  zeroing one-hot pixels at class boundaries);
+- random flips run on-device inside the input pipeline (loader.py), not
+  per-sample on the host — ``__getitem__`` stays host-only for API
+  compatibility and plugin-style use;
+- ``get_filename`` / ``save_mask`` are provided so the built-in dataset
+  works with ``patchgan_infer`` out of the box (reference quirk Q5: its
+  COCOStuffDataset lacks both and cannot be used for inference,
+  infer.py:119-125).
+"""
+
+import glob
+import os
+
+import numpy as np
+from PIL import Image
+
+
+class COCOStuffDataset:
+    augmentation = None
+
+    def __init__(self, imgfolder, maskfolder=None, labels=(1,), size=256,
+                 augmentation='resize'):
+        if maskfolder is None:
+            maskfolder = imgfolder
+        self.images = sorted(glob.glob(os.path.join(imgfolder, '*.jpg')))
+        self.masks = sorted(glob.glob(os.path.join(maskfolder, '*.png')))
+        self.size = size
+        self.labels = np.sort(np.asarray(labels))
+        self.augmentation = augmentation
+
+        image_ids = [int(os.path.splitext(os.path.basename(p))[0])
+                     for p in self.images]
+        mask_ids = [int(os.path.splitext(os.path.basename(p))[0])
+                    for p in self.masks]
+        # masks may legitimately be absent for inference-only use
+        # (quirk Q5 fix: the built-in dataset supports patchgan_infer)
+        if self.masks:
+            assert image_ids == mask_ids, \
+                "Image IDs and Mask IDs do not match!"
+
+        print(f"Loaded {len(self)} images")
+
+    def __len__(self):
+        return len(self.images)
+
+    # ------------------------------------------------------------------
+    # host decode path
+    # ------------------------------------------------------------------
+    def _resize_enabled(self):
+        return self.augmentation in ('randomcrop', 'randomcrop+flip')
+
+    def _flip_enabled(self):
+        return self.augmentation == 'randomcrop+flip'
+
+    def load_raw(self, index):
+        """Decode one (image, labelmap) pair: image HWC float32 in [0,1],
+        labelmap HW int32 of PNG values + 1. Resized when the
+        augmentation mode calls for it; flips are applied downstream
+        on-device."""
+        img = Image.open(self.images[index]).convert('RGB')
+        mask = Image.open(self.masks[index]).convert('L')
+        if self._resize_enabled():
+            img = img.resize((self.size, self.size), Image.BILINEAR)
+            mask = mask.resize((self.size, self.size), Image.NEAREST)
+        image = np.asarray(img, dtype=np.float32) / 255.0
+        labelmap = np.asarray(mask, dtype=np.int32) + 1
+        return image, labelmap
+
+    def one_hot(self, labelmap):
+        """(H, W) labelmap -> (H, W, n_labels) float32 one-hot over the
+        configured labels (io.py:54-56)."""
+        return (labelmap[:, :, None]
+                == self.labels[None, None, :]).astype(np.float32)
+
+    def __getitem__(self, index):
+        """Full host path for API/plugin compatibility: returns
+        (image HWC float32, one-hot mask HWC float32), with host-side
+        random flips when augmentation='randomcrop+flip'."""
+        image, labelmap = self.load_raw(index)
+        if self._flip_enabled():
+            if np.random.uniform() < 0.25:
+                image = image[:, ::-1]
+                labelmap = labelmap[:, ::-1]
+            if np.random.uniform() < 0.25:
+                image = image[::-1]
+                labelmap = labelmap[::-1]
+        return np.ascontiguousarray(image), self.one_hot(
+            np.ascontiguousarray(labelmap))
+
+    # ------------------------------------------------------------------
+    # inference protocol (reference infer.py:119-123 requires these)
+    # ------------------------------------------------------------------
+    def get_filename(self, index):
+        return os.path.basename(self.images[index])
+
+    @staticmethod
+    def save_mask(mask, output_path, fname):
+        """Save a stitched prediction as PNG (uint8 label/probability
+        map)."""
+        arr = np.asarray(mask)
+        if arr.dtype in (np.float32, np.float64):
+            arr = np.clip(arr * 255.0, 0, 255).astype(np.uint8) \
+                if arr.max() <= 1.0 else arr.astype(np.uint8)
+        else:
+            arr = arr.astype(np.uint8)
+        Image.fromarray(arr).save(
+            os.path.join(output_path, f'{fname}.png'))
+
+    def get_image(self, index):
+        """Inference-time image fetch: HWC float32 in [0,1], original
+        resolution (tiling handles arbitrary sizes)."""
+        img = Image.open(self.images[index]).convert('RGB')
+        return np.asarray(img, dtype=np.float32) / 255.0

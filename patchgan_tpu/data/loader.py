@@ -1,0 +1,163 @@
+"""Input pipeline: parallel host decode -> on-device augment/one-hot.
+
+Replaces the reference's torch DataLoader + per-sample CPU transforms
+(/root/reference/patchgan/train.py:77-83, io.py:38-58) with a TPU-first
+split:
+
+- host side: a thread pool decodes and resizes JPEG/PNG pairs (PIL
+  releases the GIL during decode) and collates fixed-shape numpy batches,
+  with a bounded prefetch queue keeping the device fed;
+- device side: one tiny jitted function per epoch does normalise +
+  one-hot + per-sample random flips (p=0.25 horizontal and vertical,
+  matching io.py:29-30) directly in HBM, and the result is laid out
+  sharded across the data-parallel mesh before the train step consumes
+  it (BASELINE.json: "on-device decode/resize/normalize/augment pipeline
+  feeding HBM").
+
+Datasets supply either ``load_raw(i) -> (image HWC float32, labelmap HW
+int32)`` plus ``one_hot``/``labels`` (fast path) or just a torch-style
+``__getitem__`` returning (image, one-hot mask) (compatibility path for
+CWD ``io.py`` plugin datasets, SURVEY.md §2 #11).
+"""
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..parallel.mesh import shard_batch
+
+
+@partial(jax.jit, static_argnames=('flip', 'dtype'))
+def _augment_batch(images, labelmaps, labels, key, flip=False,
+                   dtype=jnp.float32):
+    """images: (N,H,W,C) float32; labelmaps: (N,H,W) int32;
+    labels: (L,) int32. Returns (x, y) with y one-hot, flips applied
+    consistently to both."""
+    x = images.astype(dtype)
+    y = (labelmaps[..., None] == labels[None, None, None, :]).astype(dtype)
+    if flip:
+        n = x.shape[0]
+        hkey, vkey = jax.random.split(key)
+        hflip = jax.random.uniform(hkey, (n, 1, 1, 1)) < 0.25
+        vflip = jax.random.uniform(vkey, (n, 1, 1, 1)) < 0.25
+        x = jnp.where(hflip, x[:, :, ::-1, :], x)
+        y = jnp.where(hflip, y[:, :, ::-1, :], y)
+        x = jnp.where(vflip, x[:, ::-1, :, :], x)
+        y = jnp.where(vflip, y[:, ::-1, :, :], y)
+    return x, y
+
+
+class DataLoader:
+    """Shuffling, batching, prefetching loader yielding device-resident
+    (x, y) NHWC batches."""
+
+    def __init__(self, dataset, batch_size=16, shuffle=True,
+                 drop_last=True, num_workers=4, prefetch=2, mesh=None,
+                 dtype=jnp.float32, seed=0, device_augment=None):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle_enabled = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.mesh = mesh
+        self.dtype = dtype
+        self._rng = np.random.default_rng(seed)
+        self._key = jax.random.PRNGKey(seed)
+        self._epoch = 0
+        if device_augment is None:
+            device_augment = hasattr(dataset, 'load_raw')
+        self.device_augment = device_augment
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def shuffle(self):
+        # epoch hook kept for Trainer's hasattr(data, 'shuffle') call
+        # (reference trainer.py:206-207); actual shuffling happens in
+        # __iter__ per epoch.
+        pass
+
+    def _index_batches(self):
+        idx = np.arange(len(self.dataset))
+        if self.shuffle_enabled:
+            self._rng.shuffle(idx)
+        n_full = len(idx) // self.batch_size
+        batches = [idx[i * self.batch_size:(i + 1) * self.batch_size]
+                   for i in range(n_full)]
+        rem = len(idx) - n_full * self.batch_size
+        if rem and not self.drop_last:
+            batches.append(idx[-rem:])
+        return batches
+
+    def _fetch_raw(self, pool, indices):
+        pairs = list(pool.map(self.dataset.load_raw, indices))
+        images = np.stack([p[0] for p in pairs])
+        labelmaps = np.stack([p[1] for p in pairs])
+        return images, labelmaps
+
+    def _fetch_items(self, pool, indices):
+        pairs = list(pool.map(self.dataset.__getitem__, indices))
+        x = np.stack([p[0] for p in pairs])
+        y = np.stack([p[1] for p in pairs])
+        return x, y
+
+    def _to_device(self, batch):
+        if self.mesh is not None and self.mesh.devices.size > 1 and \
+                batch[0].shape[0] % self.mesh.devices.size == 0:
+            return shard_batch(batch, self.mesh)
+        return jax.device_put(batch)
+
+    def __iter__(self):
+        self._epoch += 1
+        epoch_key = jax.random.fold_in(self._key, self._epoch)
+        batches = self._index_batches()
+        flip = bool(getattr(self.dataset, 'augmentation', None)
+                    == 'randomcrop+flip') and self.device_augment
+        labels = None
+        if self.device_augment:
+            labels = jnp.asarray(
+                np.asarray(self.dataset.labels, dtype=np.int32))
+
+        out_q = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+
+        def producer():
+            try:
+                for bi, indices in enumerate(batches):
+                    if self.device_augment:
+                        images, labelmaps = self._fetch_raw(pool, indices)
+                        key = jax.random.fold_in(epoch_key, bi)
+                        x, y = _augment_batch(
+                            jnp.asarray(images), jnp.asarray(labelmaps),
+                            labels, key, flip=flip, dtype=self.dtype)
+                        out_q.put(self._to_device((x, y)))
+                    else:
+                        out_q.put(self._to_device(
+                            self._fetch_items(pool, indices)))
+            except Exception as e:  # surface worker errors to consumer
+                out_q.put(e)
+            finally:
+                out_q.put(sentinel)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is sentinel:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            pool.shutdown(wait=False)

@@ -66,6 +66,7 @@ class UpBlock(nn.Module):
     use_dropout: bool = False
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = True
+    fp32_act: bool = False  # final output head: activation in fp32
 
     @nn.compact
     def __call__(self, x, skip=None, train=False):
@@ -80,6 +81,11 @@ class UpBlock(nn.Module):
             x = instance_norm(x, eps=NORM_EPS, activation=self.activation,
                               use_pallas=self.use_pallas)
         else:
+            # the output head's sigmoid/softmax runs in fp32: bf16
+            # saturates to exact 0/1 at |logit| ~ 9, which kills BCE
+            # gradients and probability resolution
+            if self.fp32_act:
+                x = x.astype(jnp.float32)
             x = apply_activation(x, self.activation)
         if self.use_dropout:
             x = nn.Dropout(rate=DROPOUT_RATE, deterministic=not train)(x)

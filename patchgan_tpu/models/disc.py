@@ -91,4 +91,6 @@ class Discriminator(nn.Module):
             h = instance_norm(h, eps=NORM_EPS, use_pallas=self.use_pallas)
 
         h = conv(h, 1, stride=1, use_bias=True, name='conv_out')
-        return apply_activation(h, 'sigmoid')
+        # fp32 sigmoid head: bf16 saturates to exact 0/1 at |logit| ~ 9,
+        # which would zero the BCE gradients (see models/blocks.py)
+        return apply_activation(h.astype(jnp.float32), 'sigmoid')

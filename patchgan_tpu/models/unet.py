@@ -79,6 +79,7 @@ class UNet(nn.Module):
                         name=f'dec{i}')(x, skip=rev[i], train=train)
         x = UpBlock(self.output_nc, self.final_act, use_norm=False,
                     dtype=self.dtype, use_pallas=self.use_pallas,
+                    fp32_act=True,
                     name=f'dec{len(dec_filts)}')(x, skip=rev[len(dec_filts)],
                                                  train=train)
 

@@ -4,7 +4,8 @@ These reproduce the exact output geometry of the reference's
 ``nn.Conv2d(k=4, s=2, p=1)`` and ``nn.ConvTranspose2d(k=4, s=2, p=1)``
 layers (/root/reference/patchgan/unet.py:19,53, disc.py:19-46) but in the
 TPU-friendly NHWC activation / HWIO kernel layouts so XLA can tile them
-straight onto the MXU.
+straight onto the MXU. In bf16 the MXU accumulates in fp32 natively, so
+convs run wholly in the compute dtype.
 
 Transposed convolution is expressed as a regular convolution over an
 lhs-dilated input (stride-1 conv, lhs_dilation=s, padding k-1-p) with the
@@ -23,15 +24,9 @@ skip-connection ``torch.cat`` (unet.py:127) and discriminator input
 ``torch.cat`` (trainer.py:65,96,98) into the convs themselves.
 """
 
-import jax.numpy as jnp
 from jax import lax
 
 _DIMS = ('NHWC', 'HWIO', 'NHWC')
-
-
-def _accum_type(x):
-    # Accumulate bf16 convs in fp32 on the MXU; keep fp32 convs fp32.
-    return jnp.float32 if x.dtype == jnp.bfloat16 else x.dtype
 
 
 def conv2d(x, w, stride=2, padding=1, bias=None, x2=None):
@@ -45,17 +40,18 @@ def conv2d(x, w, stride=2, padding=1, bias=None, x2=None):
 
     def one(inp, ker):
         return lax.conv_general_dilated(
-            inp, ker.astype(inp.dtype), window_strides=strides, padding=pad,
-            dimension_numbers=_DIMS, preferred_element_type=_accum_type(inp))
+            inp, ker.astype(inp.dtype), window_strides=strides,
+            padding=pad, dimension_numbers=_DIMS)
 
     if x2 is None:
         out = one(x, w)
     else:
         c1 = x.shape[-1]
-        out = one(x, w[:, :, :c1, :]) + one(x2, w[:, :, c1:, :])
+        out = one(x, w[:, :, :c1, :]) + one(x2.astype(x.dtype),
+                                            w[:, :, c1:, :])
     if bias is not None:
         out = out + bias.astype(out.dtype)
-    return out.astype(x.dtype)
+    return out
 
 
 def conv_transpose2d(x, w, stride=2, padding=1, bias=None, x2=None):
@@ -74,14 +70,14 @@ def conv_transpose2d(x, w, stride=2, padding=1, bias=None, x2=None):
     def one(inp, ker):
         return lax.conv_general_dilated(
             inp, ker.astype(inp.dtype), window_strides=(1, 1), padding=pad,
-            lhs_dilation=(stride, stride), dimension_numbers=_DIMS,
-            preferred_element_type=_accum_type(inp))
+            lhs_dilation=(stride, stride), dimension_numbers=_DIMS)
 
     if x2 is None:
         out = one(x, w)
     else:
         c1 = x.shape[-1]
-        out = one(x, w[:, :, :c1, :]) + one(x2, w[:, :, c1:, :])
+        out = one(x, w[:, :, :c1, :]) + one(x2.astype(x.dtype),
+                                            w[:, :, c1:, :])
     if bias is not None:
         out = out + bias.astype(out.dtype)
-    return out.astype(x.dtype)
+    return out

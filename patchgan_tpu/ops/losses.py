@@ -69,8 +69,17 @@ def mae_loss(y_true, y_pred):
 
 
 def _clamped_log(p):
-    # torch.nn.BCELoss clamps each log term at -100 for numerical safety.
-    return jnp.maximum(jnp.log(p), -100.0)
+    """log(p) clamped at -100, matching torch.nn.BCELoss.
+
+    Written so the gradient is SAFE at p == 0: a naive
+    ``maximum(log(p), -100)`` backpropagates 0 * (1/0) = NaN there (the
+    saturated-discriminator case that torch sidesteps internally). Here
+    the where() selects the constant branch at p == 0, giving zero
+    gradient; elsewhere the log argument is bounded away from zero so
+    1/p stays finite.
+    """
+    safe = jnp.log(jnp.maximum(p, 1e-35))
+    return jnp.where(p > 0, jnp.maximum(safe, -100.0), -100.0)
 
 
 def bce_loss(y_pred, y_true):

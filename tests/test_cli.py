@@ -1,0 +1,193 @@
+"""End-to-end CLI tests: patchgan_train on a synthetic COCO-style
+directory (both YAML schemas), resume, then patchgan_infer producing
+mask files (SURVEY.md §4 integration plan)."""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+from PIL import Image
+
+from patchgan_tpu.cli.infer import patchgan_infer
+from patchgan_tpu.cli.train import patchgan_train
+
+SIZE = 128
+
+
+@pytest.fixture
+def coco_tree(tmp_path):
+    for split in ('train', 'val'):
+        (tmp_path / split / 'images').mkdir(parents=True)
+        (tmp_path / split / 'masks').mkdir(parents=True)
+        rng = np.random.default_rng(0)
+        n = 8 if split == 'train' else 4
+        for i in range(n):
+            img = (rng.uniform(size=(SIZE, SIZE, 3)) * 255) \
+                .astype(np.uint8)
+            Image.fromarray(img).save(
+                tmp_path / split / 'images' / f'{i:012d}.jpg')
+            mask = rng.integers(0, 2, size=(SIZE, SIZE)).astype(np.uint8)
+            Image.fromarray(mask, mode='L').save(
+                tmp_path / split / 'masks' / f'{i:012d}.png')
+    return tmp_path
+
+
+def nested_config(tmp_path):
+    return {
+        'dataset': {
+            'type': 'COCOStuff',
+            'size': SIZE,
+            'augmentation': 'randomcrop+flip',
+            'labels': [1, 2],
+            'train_data': {
+                'images': str(tmp_path / 'train' / 'images'),
+                'masks': str(tmp_path / 'train' / 'masks'),
+            },
+            'validation_data': {
+                'images': str(tmp_path / 'val' / 'images'),
+                'masks': str(tmp_path / 'val' / 'masks'),
+            },
+        },
+        'model_params': {
+            'generator': {'filters': 4, 'activation': 'relu',
+                          'use_dropout': True,
+                          'final_activation': 'softmax'},
+            'discriminator': {'filters': 4, 'n_layers': 2},
+        },
+        'checkpoint_path': str(tmp_path / 'checkpoints'),
+        'train_params': {
+            'loss_type': 'tversky',
+            'seg_alpha': 200,
+            'gen_learning_rate': 1.e-3,
+            'disc_learning_rate': 1.e-3,
+            'decay_rate': 0.95,
+            'save_freq': 1,
+        },
+    }
+
+
+def flat_config(tmp_path):
+    # the shipped-example layout: flat model_params, top-level data dirs
+    # (quirk Q1 -- crashes the reference parser, accepted here)
+    cfg = {
+        'dataset': {
+            'type': 'COCOStuff',
+            'size': SIZE,
+            'augmentation': 'randomcrop',
+            'labels': [1, 2],
+        },
+        'train_data': {
+            'images': str(tmp_path / 'train' / 'images'),
+            'masks': str(tmp_path / 'train' / 'masks'),
+        },
+        'validation_data': {
+            'images': str(tmp_path / 'val' / 'images'),
+            'masks': str(tmp_path / 'val' / 'masks'),
+        },
+        'model_params': {
+            'gen_filts': 4, 'disc_filts': 4, 'activation': 'relu',
+            'use_dropout': True, 'final_activation': 'sigmoid',
+            'n_disc_layers': 2,
+        },
+        'checkpoint_path': str(tmp_path / 'checkpoints_flat'),
+        'train_params': {
+            'loss_type': 'weighted_bce',
+            'seg_alpha': 1,
+            'gen_learning_rate': 1.e-3,
+            'disc_learning_rate': 1.e-3,
+            'save_freq': 1,
+        },
+    }
+    return cfg
+
+
+def write_config(tmp_path, cfg, name='config.yaml'):
+    path = tmp_path / name
+    with open(path, 'w') as f:
+        yaml.safe_dump(cfg, f)
+    return str(path)
+
+
+def test_train_cli_nested_schema_and_resume(coco_tree, capsys):
+    cfg = nested_config(coco_tree)
+    cfg_path = write_config(coco_tree, cfg)
+    patchgan_train(['-c', cfg_path, '-n', '1', '-b', '4',
+                    '--dataloader_workers', '2', '--dtype', 'float32'])
+    ckpt_dir = cfg['checkpoint_path']
+    assert os.path.exists(os.path.join(ckpt_dir, 'generator_ep_001.npz'))
+    assert os.path.exists(os.path.join(ckpt_dir,
+                                       'discriminator_ep_001.npz'))
+
+    # resume: run one more epoch from the saved checkpoint
+    cfg['load_last_checkpoint'] = True
+    cfg_path = write_config(coco_tree, cfg, 'config2.yaml')
+    patchgan_train(['-c', cfg_path, '-n', '2', '-b', '4',
+                    '--dtype', 'float32'])
+    assert os.path.exists(os.path.join(ckpt_dir, 'generator_ep_002.npz'))
+    out = capsys.readouterr().out
+    assert 'Epoch 2' in out
+    assert 'Epoch 1' not in out.split('Loaded checkpoints')[-1]
+
+
+def test_train_cli_flat_schema(coco_tree):
+    cfg = flat_config(coco_tree)
+    cfg_path = write_config(coco_tree, cfg, 'flat.yaml')
+    patchgan_train(['-c', cfg_path, '-n', '1', '-b', '4',
+                    '--dtype', 'float32'])
+    assert os.path.exists(os.path.join(cfg['checkpoint_path'],
+                                       'generator_ep_001.npz'))
+
+
+def test_train_cli_train_val_split(coco_tree):
+    cfg = nested_config(coco_tree)
+    del cfg['dataset']['train_data']
+    del cfg['dataset']['validation_data']
+    cfg['dataset']['data'] = {
+        'images': str(coco_tree / 'train' / 'images'),
+        'masks': str(coco_tree / 'train' / 'masks'),
+    }
+    cfg['dataset']['train_val_split'] = [0.75, 0.25]
+    cfg['train_params']['save_freq'] = 10  # no checkpoint this run
+    cfg_path = write_config(coco_tree, cfg, 'split.yaml')
+    patchgan_train(['-c', cfg_path, '-n', '1', '-b', '2',
+                    '--dtype', 'float32'])
+
+
+def test_infer_cli_end_to_end(coco_tree):
+    # train one epoch to create a checkpoint
+    cfg = nested_config(coco_tree)
+    cfg_path = write_config(coco_tree, cfg)
+    patchgan_train(['-c', cfg_path, '-n', '1', '-b', '4',
+                    '--dtype', 'float32'])
+
+    infer_cfg = {
+        'dataset': {
+            'type': 'COCOStuff',
+            'size': SIZE,
+            'labels': [1, 2],
+            'dataset_path': str(coco_tree / 'val' / 'images'),
+        },
+        'model_params': {
+            'gen_filts': 4, 'disc_filts': 4, 'activation': 'relu',
+            'final_activation': 'softmax', 'n_disc_layers': 2,
+        },
+        'checkpoint_paths': {
+            'generator': os.path.join(cfg['checkpoint_path'],
+                                      'generator_ep_001.npz'),
+            'discriminator': os.path.join(cfg['checkpoint_path'],
+                                          'discriminator_ep_001.npz'),
+        },
+        'infer_params': {
+            'output_path': str(coco_tree / 'predictions'),
+            'threshold': 0,
+            'overlap': 0.9,
+        },
+    }
+    infer_path = write_config(coco_tree, infer_cfg, 'infer.yaml')
+    patchgan_infer(['-c', infer_path, '--dtype', 'float32'])
+
+    preds = sorted(os.listdir(coco_tree / 'predictions'))
+    assert len(preds) == 4
+    arr = np.asarray(Image.open(coco_tree / 'predictions' / preds[0]))
+    assert arr.shape == (SIZE, SIZE)

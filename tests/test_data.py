@@ -1,0 +1,124 @@
+"""Data pipeline tests: dataset decode/one-hot semantics, augmentation
+vocabulary (quirk Q3), loader batching and on-device flips, splits."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from patchgan_tpu.data import COCOStuffDataset, DataLoader
+from patchgan_tpu.data.split import random_split
+
+
+@pytest.fixture
+def coco_dir(tmp_path):
+    imgdir = tmp_path / 'images'
+    maskdir = tmp_path / 'masks'
+    imgdir.mkdir()
+    maskdir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(8):
+        img = (rng.uniform(size=(64, 48, 3)) * 255).astype(np.uint8)
+        Image.fromarray(img).save(imgdir / f'{i:012d}.jpg')
+        mask = rng.integers(0, 3, size=(64, 48)).astype(np.uint8)
+        Image.fromarray(mask, mode='L').save(maskdir / f'{i:012d}.png')
+    return str(imgdir), str(maskdir)
+
+
+def test_dataset_loads_and_matches_ids(coco_dir):
+    ds = COCOStuffDataset(*coco_dir, labels=[1, 2, 3], size=32,
+                          augmentation='randomcrop')
+    assert len(ds) == 8
+
+
+def test_dataset_id_mismatch_asserts(tmp_path):
+    (tmp_path / 'i').mkdir()
+    (tmp_path / 'm').mkdir()
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(
+        tmp_path / 'i' / '1.jpg')
+    Image.fromarray(np.zeros((8, 8), np.uint8)).save(
+        tmp_path / 'm' / '2.png')
+    with pytest.raises(AssertionError):
+        COCOStuffDataset(str(tmp_path / 'i'), str(tmp_path / 'm'))
+
+
+def test_getitem_one_hot_plus_one(coco_dir):
+    # mask PNG values 0..2 become labels 1..3 (io.py:43)
+    ds = COCOStuffDataset(*coco_dir, labels=[1, 2, 3], size=32,
+                          augmentation='randomcrop')
+    img, mask = ds[0]
+    assert img.shape == (32, 32, 3)
+    assert mask.shape == (32, 32, 3)
+    assert img.min() >= 0 and img.max() <= 1
+    # every pixel belongs to exactly one of labels {1,2,3}
+    np.testing.assert_array_equal(mask.sum(axis=-1), 1.0)
+
+
+def test_resize_augmentation_vocabulary(coco_dir):
+    # 'randomcrop' resizes (the reference misnomer); default 'resize'
+    # does nothing (quirk Q3)
+    ds_resize = COCOStuffDataset(*coco_dir, labels=[1], size=32,
+                                 augmentation='randomcrop')
+    assert ds_resize[0][0].shape == (32, 32, 3)
+    ds_noop = COCOStuffDataset(*coco_dir, labels=[1], size=32,
+                               augmentation='resize')
+    assert ds_noop[0][0].shape == (64, 48, 3)
+
+
+def test_loader_batches_and_drop_last(coco_dir):
+    ds = COCOStuffDataset(*coco_dir, labels=[1, 2], size=32,
+                          augmentation='randomcrop')
+    loader = DataLoader(ds, batch_size=3, shuffle=True, drop_last=True,
+                        num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 2  # 8 // 3
+    x, y = batches[0]
+    assert x.shape == (3, 32, 32, 3)
+    assert y.shape == (3, 32, 32, 2)
+
+    loader_all = DataLoader(ds, batch_size=3, drop_last=False)
+    assert [np.shape(b[0])[0] for b in loader_all] == [3, 3, 2]
+
+
+def test_loader_device_flip_consistency(coco_dir):
+    """Flipped image and mask must stay aligned after on-device augment."""
+    ds = COCOStuffDataset(*coco_dir, labels=[1, 2, 3], size=32,
+                          augmentation='randomcrop+flip')
+    loader = DataLoader(ds, batch_size=8, shuffle=False, seed=3)
+    x, y = next(iter(loader))
+    x, y = np.asarray(x), np.asarray(y)
+    # reconstruct the labelmap from one-hot and compare against both
+    # orientations of the unflipped source
+    ds_plain = COCOStuffDataset(*coco_dir, labels=[1, 2, 3], size=32,
+                                augmentation='randomcrop')
+    any_flipped = False
+    for i in range(8):
+        img0, mask0 = ds_plain[i]
+        candidates = [
+            (img0, mask0),
+            (img0[:, ::-1], mask0[:, ::-1]),
+            (img0[::-1], mask0[::-1]),
+            (img0[::-1, ::-1], mask0[::-1, ::-1]),
+        ]
+        matched = False
+        for k, (ci, cm) in enumerate(candidates):
+            if np.allclose(x[i], ci, atol=1e-6):
+                np.testing.assert_allclose(y[i], cm, atol=1e-6)
+                matched = True
+                any_flipped |= k > 0
+                break
+        assert matched, f"sample {i} matches no flip orientation"
+
+
+def test_random_split_fractions_and_lengths(coco_dir):
+    ds = COCOStuffDataset(*coco_dir, labels=[1], size=32,
+                          augmentation='randomcrop')
+    tr, va = random_split(ds, [0.75, 0.25])
+    assert len(tr) == 6 and len(va) == 2
+    tr2, va2 = random_split(ds, [5, 3])
+    assert len(tr2) == 5 and len(va2) == 3
+    with pytest.raises(ValueError):
+        random_split(ds, [5, 5])
+    # subsets forward the loader-relevant attributes
+    assert tr.augmentation == 'randomcrop'
+    img, _ = tr[0]
+    assert img.shape == (32, 32, 3)

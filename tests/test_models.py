@@ -83,7 +83,7 @@ def test_unet_dropout_train_vs_eval():
 @pytest.mark.parametrize('n_layers', [1, 3, 5])
 def test_disc_output_shape(n_layers):
     model = Discriminator(input_nc=4, ndf=8, n_layers=n_layers)
-    x = jnp.zeros((2, 128, 128, 3))
+    x = jnp.zeros((2, 64, 64, 3))
     y = jnp.zeros((2, 64, 64, 1))
     params = _init(model, x, y)
     out = model.apply({'params': params}, x, y)
