@@ -54,13 +54,17 @@ def main():
 
     for _ in range(WARMUP):
         state, losses = step(state, x, y)
-    jax.block_until_ready(state)
+    # force the dependency chain by fetching a loss scalar: through the
+    # axon tunnel, block_until_ready alone has been observed to return
+    # before the dispatched chain actually finishes
+    float(losses['gen'])
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
         state, losses = step(state, x, y)
-    jax.block_until_ready(state)
+    g_final = float(losses['gen'])
     elapsed = time.perf_counter() - t0
+    assert np.isfinite(g_final), "non-finite generator loss in benchmark"
 
     img_s = BATCH * ITERS / elapsed
     print(json.dumps({
