@@ -34,9 +34,11 @@ def instance_norm(x, eps=1e-5, activation=None, use_pallas=True):
     """
     if use_pallas:
         try:
-            from .pallas.norm_act import instance_norm_act_pallas, pallas_supported
-            if pallas_supported(x):
-                return instance_norm_act_pallas(x, eps=eps, activation=activation)
+            from .pallas.norm_act import (instance_norm_act_pallas,
+                                          pallas_supported)
+            if pallas_supported(x, activation):
+                return instance_norm_act_pallas(x, eps=eps,
+                                                activation=activation)
         except ImportError:  # pragma: no cover - pallas unavailable
             pass
     return _instance_norm_xla(x, eps, activation)

@@ -150,10 +150,13 @@ def make_train_step(generator, discriminator, gen_tx, disc_tx,
 
 
 def make_eval_step(generator, discriminator, loss_type='tversky',
-                   seg_alpha=200.0, tversky_beta=0.75, tversky_gamma=0.75):
+                   seg_alpha=200.0, tversky_beta=0.75, tversky_gamma=0.75,
+                   compute_iou=False):
     """Validation pass: same losses, no parameter updates, dropout off
     (the reference switches to model.eval() for validation,
-    trainer.py:239-250)."""
+    trainer.py:239-250). Optionally also reports mean IoU of the
+    generated masks (a metric the reference lacks; BASELINE.json asks
+    for IoU parity)."""
     seg_loss = make_seg_loss(loss_type, seg_alpha, tversky_beta,
                              tversky_gamma)
 
@@ -167,7 +170,11 @@ def make_eval_step(generator, discriminator, loss_type='tversky',
         loss_real = bce_loss(disc_real, jnp.ones_like(disc_real))
         loss_fake = bce_loss(disc_fake, jnp.zeros_like(disc_fake))
         d_loss = (loss_fake + loss_real) / 2.0
-        return {'gen': g_loss, 'gen_loss': g_loss, 'gdisc': gdisc,
-                'discr': loss_real, 'discf': loss_fake, 'disc': d_loss}
+        losses = {'gen': g_loss, 'gen_loss': g_loss, 'gdisc': gdisc,
+                  'discr': loss_real, 'discf': loss_fake, 'disc': d_loss}
+        if compute_iou:
+            from ..utils.metrics import iou
+            losses['iou'] = iou(y, gen_img)
+        return losses
 
     return eval_step

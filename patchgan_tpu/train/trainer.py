@@ -61,6 +61,8 @@ class Trainer:
     tversky_gamma = 0.75
 
     neptune_config = None
+    compute_iou = False   # add mean-IoU to validation metrics
+    profile_dir = None    # jax.profiler trace of the first train epoch
 
     def __init__(self, generator, discriminator, savefolder, device=None,
                  seed=0, mesh=None):
@@ -107,7 +109,8 @@ class Trainer:
 
     def _loss_key(self):
         return (self.loss_type, float(self.seg_alpha),
-                float(self.tversky_beta), float(self.tversky_gamma))
+                float(self.tversky_beta), float(self.tversky_gamma),
+                bool(self.compute_iou))
 
     def _get_step(self, train):
         key = (train, self._loss_key())
@@ -125,7 +128,8 @@ class Trainer:
                     self.generator, self.discriminator,
                     loss_type=self.loss_type, seg_alpha=self.seg_alpha,
                     tversky_beta=self.tversky_beta,
-                    tversky_gamma=self.tversky_gamma)
+                    tversky_gamma=self.tversky_gamma,
+                    compute_iou=self.compute_iou)
                 jitted = jax.jit(fn)
             self._step_cache[key] = jitted
         return self._step_cache[key]
@@ -151,8 +155,9 @@ class Trainer:
         else:
             losses = self._get_step(False)(self.state, x, y)
         # jit canonicalises dict ordering; restore the reference's key
-        # order (trainer.py:109)
+        # order (trainer.py:109), appending any extra metrics (e.g. iou)
         keys = ['gen', 'gen_loss', 'gdisc', 'discr', 'discf', 'disc']
+        keys += [k for k in losses if k not in keys]
         return {k: float(losses[k]) for k in keys}
 
     # ------------------------------------------------------------------
@@ -223,8 +228,11 @@ class Trainer:
                 d_opt_state=_set_learning_rate(self.state.d_opt_state,
                                                dsc_lr))
 
-            loss_mean, n_images, elapsed = self._run_epoch(
-                train_data, train=True, desc='Training: ')
+            from ..utils.profiling import maybe_trace
+            with maybe_trace(self.profile_dir,
+                             enabled=(epoch == self.start)):
+                loss_mean, n_images, elapsed = self._run_epoch(
+                    train_data, train=True, desc='Training: ')
             D_loss_ep.append(loss_mean['disc'])
             G_loss_ep.append(loss_mean['gen'])
             if elapsed > 0:
