@@ -75,14 +75,13 @@ class COCOStuffDataset:
         """Decode one (image, labelmap) pair: image HWC float32 in [0,1],
         labelmap HW int32 of PNG values + 1. Resized when the
         augmentation mode calls for it; flips are applied downstream
-        on-device."""
-        img = Image.open(self.images[index]).convert('RGB')
-        mask = Image.open(self.masks[index]).convert('L')
-        if self._resize_enabled():
-            img = img.resize((self.size, self.size), Image.BILINEAR)
-            mask = mask.resize((self.size, self.size), Image.NEAREST)
-        image = np.asarray(img, dtype=np.float32) / 255.0
-        labelmap = np.asarray(mask, dtype=np.int32) + 1
+        on-device. Decode+resize runs through the native C++ path
+        (data/native.py: libjpeg DCT prescale + fused bilinear) when
+        available, with a PIL fallback."""
+        from . import native
+        size = self.size if self._resize_enabled() else None
+        image = native.decode_jpeg_rgb(self.images[index], size)
+        labelmap = native.decode_png_gray(self.masks[index], size) + 1
         return image, labelmap
 
     def one_hot(self, labelmap):
@@ -128,5 +127,5 @@ class COCOStuffDataset:
     def get_image(self, index):
         """Inference-time image fetch: HWC float32 in [0,1], original
         resolution (tiling handles arbitrary sizes)."""
-        img = Image.open(self.images[index]).convert('RGB')
-        return np.asarray(img, dtype=np.float32) / 255.0
+        from . import native
+        return native.decode_jpeg_rgb(self.images[index], None)

@@ -22,6 +22,14 @@ stay whole inside a block because they are the reduction axes.
 On non-TPU backends the kernel runs in interpreter mode when forced via
 PATCHGAN_PALLAS=interpret (used by tests); otherwise ops/norm.py falls
 back to the XLA implementation.
+
+STATUS (measured on TPU v5e, 256px batch-16 bf16 GAN step): the kernel
+is numerically exact on hardware (fwd 1e-6, bwd 2e-5 vs XLA) but the
+custom-call boundary breaks XLA's own conv-epilogue fusion, costing more
+HBM traffic than the fusion saves — train 0.86x, inference 0.68x vs the
+XLA path. It therefore stays opt-in (PATCHGAN_PALLAS=on) and the XLA
+path is the default performance path; the kernel is kept tested as the
+base for a future full conv+IN+act fusion.
 """
 
 import functools
@@ -64,14 +72,21 @@ def _act_grad(xhat, name):
 
 
 def _channel_block(h, w, c):
-    """Largest divisor of c keeping the block under the VMEM working-set
-    cap (spatial dims are never split: they are the reduction axes)."""
+    """Channel block size keeping the fp32 working set under the VMEM
+    cap. Spatial dims are never split (they are the reduction axes), and
+    Mosaic requires a non-whole block on the lane dim to be a multiple
+    of 128 — so the block is either all of C or a 128-multiple divisor.
+    Returns 0 when no legal blocking fits (caller falls back to XLA)."""
     limit = max(1, _MAX_BLOCK_ELEMS // (h * w))
-    cb = 1
-    for d in range(1, c + 1):
-        if c % d == 0 and d <= limit:
-            cb = d
-    return cb
+    if c <= limit:
+        return c
+    best = 0
+    d = 128
+    while d <= limit and d <= c:
+        if c % d == 0:
+            best = d
+        d += 128
+    return best
 
 
 def _interpret():
@@ -89,6 +104,8 @@ def pallas_supported(x, activation=None):
         return False
     if x.ndim != 4:
         return False
+    if _channel_block(x.shape[1], x.shape[2], x.shape[3]) == 0:
+        return False  # no legal VMEM blocking for this shape
     mode = os.environ.get('PATCHGAN_PALLAS', 'off')
     if mode == 'interpret':
         return True
@@ -97,29 +114,88 @@ def pallas_supported(x, activation=None):
     return jax.default_backend() == 'tpu'
 
 
-def _stats(x, eps):
-    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-    var = jnp.mean(x * x, axis=(1, 2), keepdims=True) - mean * mean
+def _row_chunk(h, w, cb):
+    """Largest divisor of h keeping per-chunk fp32 temporaries small
+    (Mosaic materialises whole-array temporaries in VMEM, so elementwise
+    math runs chunk-by-chunk over rows instead of over the full block)."""
+    limit = max(1, (1 << 15) // (w * cb))
+    hc = 1
+    for d in range(1, h + 1):
+        if h % d == 0 and d <= limit:
+            hc = d
+    return hc
+
+
+def _chunk_stats(x_ref, eps):
+    """Streaming per-channel mean/rstd over the (1, H, W, Cb) block:
+    row-chunked fp32 accumulation, ~one chunk of temporaries live."""
+    _, h, w, cb = x_ref.shape
+    hc = _row_chunk(h, w, cb)
+
+    def body(i, carry):
+        s, ss = carry
+        xc = x_ref[0, pl.ds(i * hc, hc), :, :].astype(jnp.float32)
+        s = s + jnp.sum(xc, axis=(0, 1)).reshape(1, cb)
+        ss = ss + jnp.sum(xc * xc, axis=(0, 1)).reshape(1, cb)
+        return s, ss
+
+    init = (jnp.zeros((1, cb), jnp.float32), jnp.zeros((1, cb),
+                                                       jnp.float32))
+    s, ss = jax.lax.fori_loop(0, h // hc, body, init)
+    count = jnp.float32(h * w)
+    mean = s / count
+    var = ss / count - mean * mean
     rstd = jax.lax.rsqrt(var + eps)
-    return mean, rstd
+    return mean.reshape(1, 1, cb), rstd.reshape(1, 1, cb), hc
 
 
 def _fwd_kernel(x_ref, y_ref, *, eps, activation):
-    x = x_ref[...].astype(jnp.float32)  # (1, H, W, Cb)
-    mean, rstd = _stats(x, eps)
-    xhat = (x - mean) * rstd
-    y_ref[...] = _act(xhat, activation).astype(y_ref.dtype)
+    mean, rstd, hc = _chunk_stats(x_ref, eps)
+    h = x_ref.shape[1]
+
+    def body(i, _):
+        xc = x_ref[0, pl.ds(i * hc, hc), :, :].astype(jnp.float32)
+        xhat = (xc - mean) * rstd
+        y_ref[0, pl.ds(i * hc, hc), :, :] = \
+            _act(xhat, activation).astype(y_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, h // hc, body, 0)
 
 
 def _bwd_kernel(g_ref, x_ref, dx_ref, *, eps, activation):
-    g = g_ref[...].astype(jnp.float32)
-    x = x_ref[...].astype(jnp.float32)
-    mean, rstd = _stats(x, eps)
-    xhat = (x - mean) * rstd
-    gm = g * _act_grad(xhat, activation)
-    m1 = jnp.mean(gm, axis=(1, 2), keepdims=True)
-    m2 = jnp.mean(gm * xhat, axis=(1, 2), keepdims=True)
-    dx_ref[...] = (rstd * (gm - m1 - xhat * m2)).astype(dx_ref.dtype)
+    mean, rstd, hc = _chunk_stats(x_ref, eps)
+    _, h, w, cb = x_ref.shape
+
+    # pass 1: accumulate mean(gm) and mean(gm * xhat) per channel
+    def acc(i, carry):
+        s1, s2 = carry
+        xc = x_ref[0, pl.ds(i * hc, hc), :, :].astype(jnp.float32)
+        gc = g_ref[0, pl.ds(i * hc, hc), :, :].astype(jnp.float32)
+        xhat = (xc - mean) * rstd
+        gm = gc * _act_grad(xhat, activation)
+        s1 = s1 + jnp.sum(gm, axis=(0, 1)).reshape(1, cb)
+        s2 = s2 + jnp.sum(gm * xhat, axis=(0, 1)).reshape(1, cb)
+        return s1, s2
+
+    init = (jnp.zeros((1, cb), jnp.float32), jnp.zeros((1, cb),
+                                                       jnp.float32))
+    s1, s2 = jax.lax.fori_loop(0, h // hc, acc, init)
+    count = jnp.float32(h * w)
+    m1 = (s1 / count).reshape(1, 1, cb)
+    m2 = (s2 / count).reshape(1, 1, cb)
+
+    # pass 2: dx = rstd * (gm - m1 - xhat * m2)
+    def write(i, _):
+        xc = x_ref[0, pl.ds(i * hc, hc), :, :].astype(jnp.float32)
+        gc = g_ref[0, pl.ds(i * hc, hc), :, :].astype(jnp.float32)
+        xhat = (xc - mean) * rstd
+        gm = gc * _act_grad(xhat, activation)
+        dx_ref[0, pl.ds(i * hc, hc), :, :] = \
+            (rstd * (gm - m1 - xhat * m2)).astype(dx_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, h // hc, write, 0)
 
 
 def _grid_and_block(x):
@@ -142,7 +218,15 @@ def _forward(x, eps, activation):
     )(x)
 
 
-def _backward(g, x, eps, activation):
+def _backward_pallas(g, x, eps, activation):
+    """Pallas backward kernel. Currently unused on real TPUs: XLA's
+    memory-space assignment insists on stack-pinning the cotangent
+    outputs of backward custom calls in scoped VMEM, and at exactly
+    16 MiB (every early UNet layer at batch 16 in bf16) that overflows
+    the physical limit and fails compilation (observed across six
+    mitigation attempts: input aliasing, batch chunking, optimization
+    barriers, declared vmem limits). The interpreter path keeps this
+    kernel tested; revisit when the XLA TPU MSA boundary bug is fixed."""
     grid, block = _grid_and_block(x)
     return pl.pallas_call(
         functools.partial(_bwd_kernel, eps=eps, activation=activation),
@@ -152,6 +236,29 @@ def _backward(g, x, eps, activation):
         out_shape=jax.ShapeDtypeStruct(g.shape, g.dtype),
         interpret=_interpret(),
     )(g, x)
+
+
+def _backward_xla(g, x, eps, activation):
+    """XLA backward (same math as _bwd_kernel): on TPU hardware the
+    train-time backward runs through XLA fusions -- equal HBM traffic to
+    autodiff of the unfused norm, while the forward keeps the fused
+    one-read/one-write Pallas kernel."""
+    xf = x.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+    var = jnp.mean(xf * xf, axis=(1, 2), keepdims=True) - mean * mean
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = (xf - mean) * rstd
+    gm = gf * _act_grad(xhat, activation)
+    m1 = jnp.mean(gm, axis=(1, 2), keepdims=True)
+    m2 = jnp.mean(gm * xhat, axis=(1, 2), keepdims=True)
+    return (rstd * (gm - m1 - xhat * m2)).astype(g.dtype)
+
+
+def _backward(g, x, eps, activation):
+    if _interpret():
+        return _backward_pallas(g, x, eps, activation)
+    return _backward_xla(g, x, eps, activation)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))

@@ -54,15 +54,25 @@ def test_gradient_matches_xla(rng, activation):
 
 
 def test_channel_blocking_large_spatial(rng):
-    # H*W*C exceeds the VMEM cap -> channel dimension must be split
-    h = w = 128
-    c = 128
-    assert _channel_block(h, w, c) < c
+    # H*W*C exceeds the VMEM cap -> channel dimension is split into
+    # lane-aligned (multiple-of-128) blocks
+    h = w = 64
+    c = 512
+    cb = _channel_block(h, w, c)
+    assert 0 < cb < c and cb % 128 == 0
     x = jnp.asarray(rng.normal(size=(1, h, w, c)).astype(np.float32))
     expected = _instance_norm_xla(x, 1e-5, 'relu')
     got = instance_norm_act_pallas(x, 1e-5, 'relu')
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_unsupported_blocking_falls_back():
+    # (128, 128, 192): needs blocking but 192 has no 128-multiple divisor
+    # -> pallas_supported must refuse so the XLA path takes over
+    x = jnp.zeros((1, 128, 128, 192))
+    assert _channel_block(128, 128, 192) == 0
+    assert not pallas_supported(x, 'relu')
 
 
 def test_non_pow2_channels(rng):
