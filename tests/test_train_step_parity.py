@@ -1,0 +1,144 @@
+"""End-to-end TRAIN-STEP golden parity vs the PyTorch reference.
+
+Runs ONE full alternating G+D update (generator forward, segmentation +
+adversarial losses, generator Adam step, discriminator losses on
+real / detached fake, discriminator Adam step) in both frameworks from
+identical weights and data, then compares the scalar losses AND the
+updated parameters. This pins down the entire numerics chain: conv /
+convT geometry, instance norm, loss definitions (incl. the reference's
+fc_tversky pow-after-mean and seg_alpha scaling), the G-before-D
+ordering with pre-update generator outputs (trainer.py:63,96-99), and
+Adam(0.9, 0.999) updates.
+"""
+
+import sys
+import types
+
+import jax
+import numpy as np
+import pytest
+
+torch = pytest.importorskip('torch')
+
+REF_PATH = '/root/reference'
+
+
+def _load_reference_trainer():
+    if REF_PATH not in sys.path:
+        sys.path.insert(0, REF_PATH)
+    sys.modules.setdefault('torchinfo', types.SimpleNamespace(
+        summary=lambda *a, **k: None))
+    tv_io = types.SimpleNamespace(read_image=None, ImageReadMode=None)
+    tv_tr = types.SimpleNamespace(Resize=None, Compose=None,
+                                  RandomHorizontalFlip=None,
+                                  RandomVerticalFlip=None)
+    sys.modules.setdefault('torchvision',
+                           types.SimpleNamespace(io=tv_io, transforms=tv_tr))
+    sys.modules.setdefault('torchvision.io', tv_io)
+    sys.modules.setdefault('torchvision.transforms', tv_tr)
+    try:
+        from patchgan.disc import Discriminator as TorchDisc
+        from patchgan.trainer import Trainer as TorchTrainer
+        from patchgan.unet import UNet as TorchUNet
+        return TorchUNet, TorchDisc, TorchTrainer
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"reference not importable: {e}")
+
+
+@pytest.mark.parametrize('loss_type', ['tversky', 'MAE'])
+def test_one_train_step_matches_reference(tmp_path, rng, loss_type):
+    TorchUNet, TorchDisc, TorchTrainer = _load_reference_trainer()
+
+    from patchgan_tpu.models import Discriminator, UNet
+    from patchgan_tpu.train import Trainer
+    from patchgan_tpu.utils.transfer import (disc_key_map,
+                                             export_state_dict,
+                                             load_transfer_data,
+                                             unet_key_map)
+
+    nf = 4
+    size = 256  # the reference needs >= 256 (InstanceNorm on bottleneck)
+
+    gen = UNet(input_nc=3, output_nc=1, nf=nf, activation='relu',
+               final_act='sigmoid', use_pallas=False)
+    disc = Discriminator(input_nc=4, ndf=nf, n_layers=2, use_pallas=False)
+    ours = Trainer(gen, disc, str(tmp_path / 'ck'))
+    ours.loss_type = loss_type
+    ours.seg_alpha = 200
+
+    # build the torch twins and copy OUR weights into them
+    torch.manual_seed(0)
+    tgen = TorchUNet(3, 1, nf=nf, activation='relu', final_act='sigmoid')
+    tdisc = TorchDisc(4, ndf=nf, n_layers=2)
+    g_params = jax.device_get(ours.state.g_params)
+    d_params = jax.device_get(ours.state.d_params)
+    tgen.load_state_dict({
+        k: torch.tensor(np.ascontiguousarray(v))
+        for k, v in export_state_dict(g_params, unet_key_map()).items()})
+    # disc biases are initialised by torch defaults in both; copy ours
+    tdisc.load_state_dict({
+        k: torch.tensor(np.ascontiguousarray(v))
+        for k, v in export_state_dict(d_params,
+                                      disc_key_map(2, False)).items()})
+
+    ref = TorchTrainer(tgen, tdisc, str(tmp_path / 'tck'), device='cpu')
+    # TorchTrainer.__init__ re-runs weights_init; re-load our weights
+    tgen.load_state_dict({
+        k: torch.tensor(np.ascontiguousarray(v))
+        for k, v in export_state_dict(g_params, unet_key_map()).items()})
+    tdisc.load_state_dict({
+        k: torch.tensor(np.ascontiguousarray(v))
+        for k, v in export_state_dict(d_params,
+                                      disc_key_map(2, False)).items()})
+    ref.loss_type = loss_type
+    ref.seg_alpha = 200
+    ref.gen_optimizer = torch.optim.Adam(tgen.parameters(), lr=1e-3,
+                                         betas=(0.9, 0.999))
+    ref.disc_optimizer = torch.optim.Adam(tdisc.parameters(), lr=1e-3,
+                                          betas=(0.9, 0.999))
+
+    x = rng.uniform(size=(2, size, size, 3)).astype(np.float32)
+    y = (rng.uniform(size=(2, size, size, 1)) > 0.5).astype(np.float32)
+    x_nchw = torch.tensor(np.transpose(x, (0, 3, 1, 2)))
+    y_nchw = torch.tensor(np.transpose(y, (0, 3, 1, 2)))
+
+    ref_losses = ref.batch(x_nchw, y_nchw, train=True)
+    our_losses = ours.batch(x, y, train=True)
+
+    for key in ['gen', 'gdisc', 'discr', 'discf', 'disc']:
+        np.testing.assert_allclose(
+            our_losses[key], ref_losses[key], rtol=2e-3, atol=2e-4,
+            err_msg=f'loss {key} diverged ({loss_type})')
+
+    # Updated params must match after the Adam step. Tolerance note: at
+    # step 1 Adam's update is ~ lr * sign(g), so elements whose gradient
+    # is at floating-point noise level can flip sign between frameworks
+    # and differ by up to 2*lr — require 99.9% of elements tight and ALL
+    # within the 2*lr sign-flip bound.
+    lr = 1e-3
+
+    def assert_params_match(ours_w, theirs_w, name):
+        ours_w = np.asarray(ours_w)
+        diff = np.abs(ours_w - theirs_w)
+        tight = diff <= 5e-5 + 5e-3 * np.abs(theirs_w)
+        assert np.mean(tight) >= 0.999, \
+            f'{name}: {np.mean(~tight):.2%} elements loose ({loss_type})'
+        assert np.max(diff) <= 2.5 * lr, \
+            f'{name}: max diff {np.max(diff):.2e} beyond Adam sign-flip ' \
+            f'bound ({loss_type})'
+
+    g_after = jax.device_get(ours.state.g_params)
+    t_after = tgen.state_dict()
+    for tkey, (path, to_jax, _) in unet_key_map().items():
+        ours_w = g_after
+        for p in path:
+            ours_w = ours_w[p]
+        assert_params_match(ours_w, to_jax(t_after[tkey]), tkey)
+
+    d_after = jax.device_get(ours.state.d_params)
+    t_disc_after = tdisc.state_dict()
+    for tkey, (path, to_jax, _) in disc_key_map(2, False).items():
+        ours_w = d_after
+        for p in path:
+            ours_w = ours_w[p]
+        assert_params_match(ours_w, to_jax(t_disc_after[tkey]), tkey)
