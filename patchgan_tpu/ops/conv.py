@@ -24,7 +24,18 @@ skip-connection ``torch.cat`` (unet.py:127) and discriminator input
 ``torch.cat`` (trainer.py:65,96,98) into the convs themselves.
 """
 
+import os
+
+import jax.numpy as jnp
 from jax import lax
+
+# kernel-segregated transposed conv (see conv_transpose2d); override via
+# PATCHGAN_SEGREGATED_CONVT=on|off. Default OFF: measured on TPU v5e,
+# XLA's conv emitter already skips the dilation zeros, so the segregated
+# form is neutral for training (0.99x) and loses at inference (0.70x --
+# the quadrant stack/interleave costs more than the saved MACs).
+_SEGREGATED_DEFAULT = os.environ.get('PATCHGAN_SEGREGATED_CONVT',
+                                     'off') == 'on'
 
 _DIMS = ('NHWC', 'HWIO', 'NHWC')
 
@@ -54,30 +65,83 @@ def conv2d(x, w, stride=2, padding=1, bias=None, x2=None):
     return out
 
 
-def conv_transpose2d(x, w, stride=2, padding=1, bias=None, x2=None):
+def conv_transpose2d(x, w, stride=2, padding=1, bias=None, x2=None,
+                     segregated=None):
     """2-D transposed convolution, NHWC input, pre-flipped HWIO kernel.
 
     Matches torch ConvTranspose2d(k, stride, padding) geometry:
-    H_out = (H-1)*stride - 2*padding + k. Implemented as a stride-1 conv
-    with lhs_dilation=stride and padding k-1-padding, which XLA lowers to
-    an MXU-friendly fused kernel. If ``x2`` is given, behaves as
+    H_out = (H-1)*stride - 2*padding + k. Two lowerings:
+
+    - lhs-dilated: a stride-1 conv with lhs_dilation=stride and padding
+      k-1-padding (the textbook formulation; XLA may multiply by the
+      inserted zeros);
+    - kernel-segregated (cf. PAPERS.md, arXiv:2209.03704): for k=4, s=2,
+      p=1 each output-pixel parity class (di, dj) in {0,1}^2 depends on
+      a disjoint 2x2 sub-kernel, so the op becomes four stride-1 2x2
+      convolutions interleaved into the output -- 4x fewer MACs IF the
+      backend multiplies through the dilation zeros (XLA TPU does not,
+      so this lowering is off by default; see _SEGREGATED_DEFAULT).
+
+    ``segregated=None`` follows the environment default. If ``x2`` is given, behaves as
     conv_transpose(concat([x, x2], axis=-1), w).
     """
     k = w.shape[0]
-    p = k - 1 - padding
-    pad = [(p, p), (p, p)]
-
-    def one(inp, ker):
-        return lax.conv_general_dilated(
-            inp, ker.astype(inp.dtype), window_strides=(1, 1), padding=pad,
-            lhs_dilation=(stride, stride), dimension_numbers=_DIMS)
-
-    if x2 is None:
-        out = one(x, w)
+    if segregated is None:
+        segregated = _SEGREGATED_DEFAULT
+    if segregated and k == 4 and stride == 2 and padding == 1:
+        out = _conv_transpose_segregated(x, w, x2)
     else:
-        c1 = x.shape[-1]
-        out = one(x, w[:, :, :c1, :]) + one(x2.astype(x.dtype),
-                                            w[:, :, c1:, :])
+        p = k - 1 - padding
+        pad = [(p, p), (p, p)]
+
+        def one(inp, ker):
+            return lax.conv_general_dilated(
+                inp, ker.astype(inp.dtype), window_strides=(1, 1),
+                padding=pad, lhs_dilation=(stride, stride),
+                dimension_numbers=_DIMS)
+
+        if x2 is None:
+            out = one(x, w)
+        else:
+            c1 = x.shape[-1]
+            out = one(x, w[:, :, :c1, :]) + one(x2.astype(x.dtype),
+                                                w[:, :, c1:, :])
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out
+
+
+def _conv_transpose_segregated(x, w, x2=None):
+    """Kernel-segregated transposed conv for k=4, s=2, p=1.
+
+    Derivation (per spatial dim, pre-flipped kernel wf, H -> 2H):
+      out[2t]   = x[t-1]*wf[0] + x[t]*wf[2]   (pad x left by 1)
+      out[2t+1] = x[t]*wf[1]   + x[t+1]*wf[3] (pad x right by 1)
+    i.e. each parity selects the stride-2 sub-kernel wf[di::2] and a
+    one-sided padding; in 2D the four (di, dj) classes each run a 2x2
+    stride-1 convolution, interleaved back via reshape.
+    """
+    n, h, wd, _ = x.shape
+    c_out = w.shape[-1]
+
+    def quadrant(di, dj):
+        pad = [(1, 0) if di == 0 else (0, 1),
+               (1, 0) if dj == 0 else (0, 1)]
+        sub = w[di::2, dj::2]  # (2, 2, C_in, C_out)
+
+        def one(inp, ker):
+            return lax.conv_general_dilated(
+                inp, ker.astype(inp.dtype), window_strides=(1, 1),
+                padding=pad, dimension_numbers=_DIMS)
+
+        if x2 is None:
+            return one(x, sub)
+        c1 = x.shape[-1]
+        return one(x, sub[:, :, :c1, :]) + one(x2.astype(x.dtype),
+                                               sub[:, :, c1:, :])
+
+    # (N, H, W, C) quadrants -> (N, H, 2, W, 2, C) -> (N, 2H, 2W, C)
+    rows = [jnp.stack([quadrant(di, 0), quadrant(di, 1)], axis=3)
+            for di in (0, 1)]
+    out = jnp.stack(rows, axis=2)  # (N, H, 2, W, 2, C)
+    return out.reshape(n, 2 * h, 2 * wd, c_out)

@@ -108,3 +108,23 @@ def test_instance_norm_bf16_fp32_stats(rng):
     assert np.asarray(got).dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(got, dtype=np.float32),
                                np.asarray(ref), atol=0.05)
+
+
+def test_conv_transpose_segregated_matches_dilated(rng):
+    """The kernel-segregated lowering must be numerically identical to
+    the lhs-dilated formulation (and hence to torch, via the test
+    above)."""
+    x = rng.normal(size=(2, 8, 6, 5)).astype(np.float32)
+    w = rng.normal(size=(4, 4, 5, 7)).astype(np.float32) * 0.1
+    seg = conv_transpose2d(x, w, segregated=True)
+    dil = conv_transpose2d(x, w, segregated=False)
+    np.testing.assert_allclose(np.asarray(seg), np.asarray(dil),
+                               rtol=1e-4, atol=1e-5)
+
+    # with fused skip concat
+    x2 = rng.normal(size=(2, 8, 6, 3)).astype(np.float32)
+    w2 = rng.normal(size=(4, 4, 8, 7)).astype(np.float32) * 0.1
+    seg = conv_transpose2d(x, w2, x2=x2, segregated=True)
+    dil = conv_transpose2d(x, w2, x2=x2, segregated=False)
+    np.testing.assert_allclose(np.asarray(seg), np.asarray(dil),
+                               rtol=1e-4, atol=1e-5)
