@@ -106,8 +106,10 @@ def patchgan_infer(argv=None):
     threshold = infer_params.get('threshold', 0)
     overlap = infer_params.get('overlap', 0.9)
 
+    from ..parallel.mesh import default_mesh
     engine = InferenceEngine(generator, g_params, size=size,
-                             overlap=overlap, threshold=threshold)
+                             overlap=overlap, threshold=threshold,
+                             mesh=default_mesh())
 
     for i in tqdm.tqdm(range(len(datagen)), desc='Predicting',
                        dynamic_ncols=True, ascii=True):

@@ -46,6 +46,9 @@ def patchgan_train(argv=None):
                         help='Compute dtype (default: bf16 on TPU, fp32 '
                              'elsewhere)')
     parser.add_argument('--seed', default=0, type=int)
+    parser.add_argument('--profile_dir', default=None,
+                        help='Capture a jax.profiler trace of the first '
+                             'training epoch into this directory')
     args = parser.parse_args(argv)
 
     platform = select_device(args.device)
@@ -123,6 +126,9 @@ def patchgan_train(argv=None):
     train_params = config['train_params']
     trainer.loss_type = train_params['loss_type']
     trainer.seg_alpha = train_params['seg_alpha']
+    trainer.compute_iou = train_params.get('compute_iou', False)
+    if args.profile_dir:
+        trainer.profile_dir = args.profile_dir
 
     trainer.train(train_data, val_data, args.n_epochs,
                   dsc_learning_rate=train_params['disc_learning_rate'],

@@ -6,15 +6,16 @@ not ``'COCOStuff'``, a class of that name is loaded from ``io.py`` in the
 current working directory.
 """
 
-import importlib.machinery
+import importlib.util
 import os
 
 
 def load_dataset_class(type_name, cwd=None):
     path = os.path.join(cwd or os.getcwd(), 'io.py')
     try:
-        loader = importlib.machinery.SourceFileLoader('io', path)
-        module = loader.load_module()
+        spec = importlib.util.spec_from_file_location('io', path)
+        module = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(module)
     except FileNotFoundError:
         print("Make sure io.py is in the working directory!")
         raise

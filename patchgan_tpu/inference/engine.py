@@ -6,11 +6,18 @@ TPU would retrace/recompile per distinct tile count. Here tile batches
 are padded up to a fixed bucket size and run through a single jitted
 forward, so arbitrary image sizes reuse one compiled program; padding
 tiles are discarded before stitching.
+
+With a multi-device mesh, tile batches are laid out sharded across the
+``data`` axis, so one oversized image's tiles are segmented across the
+whole slice in parallel -- the TPU-native replacement for the
+reference's host-side sequential tiling (SURVEY.md §5 "long-context"
+analog).
 """
 
 import jax
 import numpy as np
 
+from ..parallel.mesh import shard_batch
 from .tiling import build_mask, n_crop
 
 
@@ -20,30 +27,41 @@ def _round_up(n, m):
 
 class InferenceEngine:
     def __init__(self, generator, g_params, size=256, overlap=0.9,
-                 threshold=0, batch_size=16, dtype=None):
+                 threshold=0, batch_size=16, mesh=None, dtype=None):
         self.generator = generator
         self.g_params = g_params
         self.size = size
         self.overlap = overlap
         self.threshold = threshold
-        self.batch_size = batch_size
+        self.mesh = mesh
+        self.n_devices = mesh.devices.size if mesh is not None else 1
+        # keep the bucket a multiple of the mesh size so crop batches
+        # shard evenly across devices
+        self.batch_size = _round_up(batch_size, self.n_devices)
         self._forward = jax.jit(
             lambda params, x: generator.apply({'params': params}, x,
                                               train=False))
 
+    def _place(self, crops):
+        if self.mesh is not None and self.n_devices > 1:
+            return shard_batch(crops, self.mesh)
+        return crops
+
     def predict_tiles(self, crops):
         """(N, size, size, C) -> (N, size, size, out_C), batched through a
-        fixed-size jitted forward."""
+        fixed-size jitted forward (sharded across the mesh if present)."""
         n = crops.shape[0]
-        bs = min(self.batch_size, _round_up(n, 8))
+        bs = min(self.batch_size,
+                 _round_up(n, max(8, self.n_devices)))
         padded = _round_up(n, bs)
         if padded != n:
             pad = np.zeros((padded - n,) + crops.shape[1:], crops.dtype)
             crops = np.concatenate([crops, pad], axis=0)
         outs = []
         for i in range(0, padded, bs):
+            batch = self._place(crops[i:i + bs])
             outs.append(np.asarray(
-                self._forward(self.g_params, crops[i:i + bs])))
+                self._forward(self.g_params, batch)))
         return np.concatenate(outs, axis=0)[:n]
 
     def predict_image(self, image):

@@ -63,6 +63,7 @@ class Trainer:
     neptune_config = None
     compute_iou = False   # add mean-IoU to validation metrics
     profile_dir = None    # jax.profiler trace of the first train epoch
+    save_optimizer_state = False  # also write exact-resume train state
 
     def __init__(self, generator, discriminator, savefolder, device=None,
                  seed=0, mesh=None):
@@ -83,7 +84,7 @@ class Trainer:
         self.start = 1
         self.state = None
         self._step_cache = {}
-        self._pending_state_dicts = None  # (gen_sd, disc_sd) to apply
+        self._pending_training_state = None  # exact-resume file
 
         # parameter init is shape-independent (all-conv nets): use a tiny
         # dummy spatial extent. weights_init parity: xavier-uniform conv
@@ -195,6 +196,17 @@ class Trainer:
             step=self.state.step,
             rng=self.state.rng,
         )
+        if self._pending_training_state is not None:
+            # exact resume (extension over the reference, which restarts
+            # Adam moments on resume): restore the full TrainState saved
+            # by save_optimizer_state
+            import flax.serialization
+            with open(self._pending_training_state, 'rb') as f:
+                self.state = flax.serialization.from_bytes(
+                    self.state, f.read())
+            print(f"Restored optimizer state from "
+                  f"{os.path.basename(self._pending_training_state)}")
+            self._pending_training_state = None
         self.state = replicate(self.state, self.mesh)
 
         if reduce_on_plateau:
@@ -319,6 +331,13 @@ class Trainer:
                              export_state_dict(g_params, gen_map))
         ckpt.save_state_dict(disc_savefile,
                              export_state_dict(d_params, disc_map))
+        if self.save_optimizer_state:
+            import flax.serialization
+            path = f'{self.savefolder}training_state_ep_{epoch:03d}' \
+                   '.msgpack'
+            with open(path, 'wb') as f:
+                f.write(flax.serialization.to_bytes(
+                    jax.device_get(self.state)))
 
     def load(self, generator_save, discriminator_save):
         print(generator_save, discriminator_save)
@@ -346,6 +365,11 @@ class Trainer:
                 self.savefolder)
             self.load(gen_path, disc_path)
             self.start = last + 1
+            state_path = f'{self.savefolder}training_state_ep_' \
+                         f'{last:03d}.msgpack'
+            if os.path.exists(state_path):
+                # applied inside train() once fresh optimizers exist
+                self._pending_training_state = state_path
         except Exception as e:
             print(e)
             print("Checkpoints not loaded")

@@ -103,3 +103,23 @@ def test_inference_engine_batched_tiles():
     out = engine.predict_image(img)
     np.testing.assert_allclose(out, img[..., 0] * 2.0, atol=1e-5)
     del jnp
+
+
+def test_inference_engine_mesh_sharded():
+    """Tiles of one large image shard across the 8-device mesh and
+    stitch back identically to the single-device path."""
+    from patchgan_tpu.parallel.mesh import default_mesh
+
+    class DoubleHead:
+        def apply(self, variables, x, train=False):
+            return x[..., :1] * 2.0
+
+    img = np.random.default_rng(5).uniform(size=(300, 400, 3)) \
+        .astype(np.float32)
+    single = InferenceEngine(DoubleHead(), {}, size=128, overlap=0.9,
+                             batch_size=8)
+    sharded = InferenceEngine(DoubleHead(), {}, size=128, overlap=0.9,
+                              batch_size=8, mesh=default_mesh())
+    assert sharded.batch_size % 8 == 0
+    np.testing.assert_allclose(sharded.predict_image(img),
+                               single.predict_image(img), atol=1e-6)

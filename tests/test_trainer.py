@@ -181,3 +181,31 @@ def test_reduce_on_plateau_matches_torch_defaults():
     for ep in range(2, 13):
         sched.epoch_end(ep, 1.0)
     assert sched.lr == pytest.approx(0.1)
+
+
+def test_exact_resume_with_optimizer_state(tmp_path, rng):
+    """save_optimizer_state writes the full TrainState; resume restores
+    Adam moments/step/rng exactly, so continued training matches an
+    uninterrupted run."""
+    data = synth_loader(rng, 1, 2)
+
+    # uninterrupted: 2 epochs
+    t_full = make_trainer(tmp_path / 'a')
+    t_full.save_optimizer_state = True
+    t_full.train(data, data, epochs=2, save_freq=1)
+    full_params = jax.device_get(t_full.state.g_params)
+
+    # interrupted: 1 epoch, new Trainer, resume, 1 more epoch
+    t1 = make_trainer(tmp_path / 'b')
+    t1.save_optimizer_state = True
+    t1.train(data, data, epochs=1, save_freq=1)
+    t2 = make_trainer(tmp_path / 'b', seed=999)
+    t2.save_optimizer_state = True
+    t2.load_last_checkpoint()
+    assert t2._pending_training_state is not None
+    t2.train(data, data, epochs=2, save_freq=1)
+    resumed_params = jax.device_get(t2.state.g_params)
+
+    for a, b in zip(jax.tree_util.tree_leaves(full_params),
+                    jax.tree_util.tree_leaves(resumed_params)):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
