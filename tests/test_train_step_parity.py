@@ -142,3 +142,57 @@ def test_one_train_step_matches_reference(tmp_path, rng, loss_type):
         for p in path:
             ours_w = ours_w[p]
         assert_params_match(ours_w, to_jax(t_disc_after[tkey]), tkey)
+
+
+def test_weighted_bce_multichannel_step_matches_reference(tmp_path, rng):
+    """loss_type='weighted_bce' with multi-channel output exercises the
+    per-channel weight branch (reference trainer.py:76-78)."""
+    TorchUNet, TorchDisc, TorchTrainer = _load_reference_trainer()
+
+    from patchgan_tpu.models import Discriminator, UNet
+    from patchgan_tpu.train import Trainer
+    from patchgan_tpu.utils.transfer import (disc_key_map,
+                                             export_state_dict,
+                                             unet_key_map)
+
+    nf, size, out_ch = 4, 256, 3
+    gen = UNet(input_nc=3, output_nc=out_ch, nf=nf, activation='relu',
+               final_act='softmax', use_pallas=False)
+    disc = Discriminator(input_nc=3 + out_ch, ndf=nf, n_layers=2,
+                         use_pallas=False)
+    ours = Trainer(gen, disc, str(tmp_path / 'ck'))
+    ours.loss_type = 'weighted_bce'
+    ours.seg_alpha = 200
+
+    torch.manual_seed(0)
+    tgen = TorchUNet(3, out_ch, nf=nf, activation='relu',
+                     final_act='softmax')
+    tdisc = TorchDisc(3 + out_ch, ndf=nf, n_layers=2)
+    ref = TorchTrainer(tgen, tdisc, str(tmp_path / 'tck'), device='cpu')
+    g_params = jax.device_get(ours.state.g_params)
+    d_params = jax.device_get(ours.state.d_params)
+    tgen.load_state_dict({
+        k: torch.tensor(np.ascontiguousarray(v))
+        for k, v in export_state_dict(g_params, unet_key_map()).items()})
+    tdisc.load_state_dict({
+        k: torch.tensor(np.ascontiguousarray(v))
+        for k, v in export_state_dict(d_params,
+                                      disc_key_map(2, False)).items()})
+    ref.loss_type = 'weighted_bce'
+    ref.seg_alpha = 200
+    ref.gen_optimizer = torch.optim.Adam(tgen.parameters(), lr=1e-3)
+    ref.disc_optimizer = torch.optim.Adam(tdisc.parameters(), lr=1e-3)
+
+    x = rng.uniform(size=(2, size, size, 3)).astype(np.float32)
+    labels = rng.integers(0, out_ch, size=(2, size, size))
+    y = np.eye(out_ch, dtype=np.float32)[labels]
+
+    ref_losses = ref.batch(
+        torch.tensor(np.transpose(x, (0, 3, 1, 2))),
+        torch.tensor(np.transpose(y, (0, 3, 1, 2))), train=True)
+    our_losses = ours.batch(x, y, train=True)
+
+    for key in ['gen', 'gdisc', 'discr', 'discf', 'disc']:
+        np.testing.assert_allclose(
+            our_losses[key], ref_losses[key], rtol=2e-3, atol=2e-4,
+            err_msg=f'loss {key} diverged (weighted_bce)')
