@@ -38,7 +38,8 @@ def main():
                dtype=jnp.bfloat16)
     disc = Discriminator(input_nc=4, ndf=64, n_layers=3,
                          dtype=jnp.bfloat16)
-    gen_tx, disc_tx = make_optimizer(1e-3), make_optimizer(1e-3)
+    gen_tx = make_optimizer(1e-3, mu_dtype=jnp.bfloat16)
+    disc_tx = make_optimizer(1e-3, mu_dtype=jnp.bfloat16)
     state = init_train_state(gen, disc, (1, SIZE, SIZE, 3), 1, gen_tx,
                              disc_tx, seed=0)
 

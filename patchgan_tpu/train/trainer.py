@@ -64,6 +64,7 @@ class Trainer:
     compute_iou = False   # add mean-IoU to validation metrics
     profile_dir = None    # jax.profiler trace of the first train epoch
     save_optimizer_state = False  # also write exact-resume train state
+    adam_mu_dtype = None  # bf16 halves first-moment HBM traffic
 
     def __init__(self, generator, discriminator, savefolder, device=None,
                  seed=0, mesh=None):
@@ -100,7 +101,8 @@ class Trainer:
     # construction helpers
     # ------------------------------------------------------------------
     def _make_optimizers(self, gen_lr, dsc_lr):
-        return make_optimizer(gen_lr), make_optimizer(dsc_lr)
+        return (make_optimizer(gen_lr, mu_dtype=self.adam_mu_dtype),
+                make_optimizer(dsc_lr, mu_dtype=self.adam_mu_dtype))
 
     def _keymaps(self):
         gen_map = unet_key_map()
@@ -136,6 +138,10 @@ class Trainer:
         return self._step_cache[key]
 
     def _place_batch(self, x, y):
+        # device-resident batches from the DataLoader pass straight
+        # through (converting them would round-trip device->host->device)
+        if isinstance(x, jax.Array) and isinstance(y, jax.Array):
+            return x, y
         x = np.asarray(x)
         y = np.asarray(y)
         n_dev = len(self.mesh.devices.flat)
