@@ -1,0 +1,51 @@
+"""End-to-end learning sanity: on a learnable synthetic task (mask =
+bright-region indicator of the input) a few epochs of GAN training must
+raise validation IoU well above chance. Guards against silent breakage
+that shape/parity tests cannot see (e.g. wrong gradient wiring, dead
+losses, LR plumbing)."""
+
+import numpy as np
+
+from patchgan_tpu.models import Discriminator, UNet
+from patchgan_tpu.train import Trainer
+
+
+def make_task(rng, n, size=128):
+    xs, ys = [], []
+    for _ in range(n):
+        base = rng.uniform(size=(size, size, 1)).astype(np.float32)
+        # smooth the noise so regions are learnable
+        k = 15
+        kernel = np.ones((k, k), np.float32) / (k * k)
+        from numpy.lib.stride_tricks import sliding_window_view
+        padded = np.pad(base[..., 0], k // 2, mode='edge')
+        smooth = sliding_window_view(padded, (k, k)).reshape(
+            size, size, -1) @ kernel.reshape(-1)
+        img = np.repeat(smooth[..., None], 3, axis=-1).astype(np.float32)
+        mask = (smooth > np.median(smooth)).astype(np.float32)[..., None]
+        xs.append(img)
+        ys.append(mask)
+    return np.stack(xs), np.stack(ys)
+
+
+def test_gan_learns_synthetic_segmentation(tmp_path, rng):
+    x, y = make_task(rng, 16)
+    batches = [(x[i:i + 4], y[i:i + 4]) for i in range(0, 16, 4)]
+
+    gen = UNet(input_nc=3, output_nc=1, nf=8, final_act='sigmoid',
+               use_pallas=False)
+    disc = Discriminator(input_nc=4, ndf=8, n_layers=2, use_pallas=False)
+    trainer = Trainer(gen, disc, str(tmp_path / 'ck'))
+    trainer.loss_type = 'tversky'
+    trainer.seg_alpha = 200
+    trainer.compute_iou = True
+
+    before = trainer.batch(x[:4], y[:4], train=False)['iou']
+    for _ in range(6):  # 6 mini-epochs over 4 batches
+        for bx, by in batches:
+            trainer.batch(bx, by, train=True)
+    after = trainer.batch(x[:4], y[:4], train=False)['iou']
+
+    # 24 train steps take IoU from ~chance (~0.47) to ~0.78 on this task
+    assert after > 0.7 and after > before + 0.2, \
+        f"IoU did not improve: {before:.3f} -> {after:.3f}"
