@@ -129,25 +129,40 @@ class DataLoader:
 
         out_q = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()
         pool = ThreadPoolExecutor(max_workers=self.num_workers)
+
+        def put(item):
+            # bounded put that aborts if the consumer abandoned iteration
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for bi, indices in enumerate(batches):
+                    if stop.is_set():
+                        return
                     if self.device_augment:
                         images, labelmaps = self._fetch_raw(pool, indices)
                         key = jax.random.fold_in(epoch_key, bi)
                         x, y = _augment_batch(
                             jnp.asarray(images), jnp.asarray(labelmaps),
                             labels, key, flip=flip, dtype=self.dtype)
-                        out_q.put(self._to_device((x, y)))
+                        if not put(self._to_device((x, y))):
+                            return
                     else:
-                        out_q.put(self._to_device(
-                            self._fetch_items(pool, indices)))
+                        if not put(self._to_device(
+                                self._fetch_items(pool, indices))):
+                            return
             except Exception as e:  # surface worker errors to consumer
-                out_q.put(e)
+                put(e)
             finally:
-                out_q.put(sentinel)
+                put(sentinel)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -160,4 +175,5 @@ class DataLoader:
                     raise item
                 yield item
         finally:
+            stop.set()
             pool.shutdown(wait=False)

@@ -122,3 +122,36 @@ def test_random_split_fractions_and_lengths(coco_dir):
     assert tr.augmentation == 'randomcrop'
     img, _ = tr[0]
     assert img.shape == (32, 32, 3)
+
+
+def test_loader_abandoned_iteration_stops_producer(coco_dir):
+    """Breaking out of iteration must not leave the producer thread
+    blocked on the queue."""
+    import threading
+    ds = COCOStuffDataset(*coco_dir, labels=[1], size=32,
+                          augmentation='randomcrop')
+    loader = DataLoader(ds, batch_size=2, prefetch=1, num_workers=1)
+    before = threading.active_count()
+    for _ in range(3):
+        it = iter(loader)
+        next(it)
+        it.close()  # abandon mid-epoch
+    import time
+    time.sleep(1.0)
+    assert threading.active_count() <= before + 1
+
+
+def test_loader_propagates_worker_errors(tmp_path):
+    class BrokenDataset:
+        labels = [1]
+        augmentation = None
+
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            raise RuntimeError("decode exploded")
+
+    loader = DataLoader(BrokenDataset(), batch_size=2, num_workers=1)
+    with pytest.raises(RuntimeError, match="decode exploded"):
+        list(loader)
