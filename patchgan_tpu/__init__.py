@@ -9,6 +9,7 @@ transfer learning -- redesigned TPU-first (NHWC layouts, single jitted
 G+D update, data-parallel sharding over an ICI mesh, fused Pallas kernels).
 """
 
+from .data import COCOStuffDataset, DataLoader
 from .models import UNet, Discriminator
 from .train import Trainer
 from .utils.transfer import Transferable, InvalidCheckpointError
@@ -16,5 +17,6 @@ from .version import __version__
 
 __all__ = [
     'UNet', 'Discriminator', 'Trainer', 'Transferable',
-    'InvalidCheckpointError', '__version__',
+    'InvalidCheckpointError', 'COCOStuffDataset', 'DataLoader',
+    '__version__',
 ]
