@@ -105,6 +105,7 @@ def patchgan_infer(argv=None):
 
     threshold = infer_params.get('threshold', 0)
     overlap = infer_params.get('overlap', 0.9)
+    mode = infer_params.get('mode', 'tiled')  # tiled | spatial
 
     from ..parallel.mesh import default_mesh
     engine = InferenceEngine(generator, g_params, size=size,
@@ -119,7 +120,7 @@ def patchgan_infer(argv=None):
             item = datagen[i]
             image = item[0] if isinstance(item, tuple) else item
         out_fname, _ = os.path.splitext(datagen.get_filename(i))
-        mask = engine.predict_image(image)
+        mask = engine.predict_image(image, mode=mode)
         Dataset.save_mask(mask, output_path, out_fname)
 
 

@@ -64,10 +64,47 @@ class InferenceEngine:
                 self._forward(self.g_params, batch)))
         return np.concatenate(outs, axis=0)[:n]
 
-    def predict_image(self, image):
-        """(H, W, C) image of arbitrary size -> stitched (H, W) mask."""
+    def predict_image(self, image, mode='tiled'):
+        """(H, W, C) image of arbitrary size -> (H, W) mask.
+
+        mode='tiled': the reference's overlap tiling + averaging stitch
+        (each tile normalised by its own instance stats, matching
+        train-time 256px crops).
+        mode='spatial': run the WHOLE image in one forward, sharded
+        across the mesh on the height axis -- GSPMD inserts the conv
+        halo exchanges, so arbitrary-size images use the full slice with
+        no tile seams (instance-norm statistics are then global to the
+        image). The TPU-native 'long-context' path (SURVEY.md §5).
+        """
+        if mode == 'spatial':
+            return self.predict_image_spatial(image)
         crops = n_crop(np.asarray(image, dtype=np.float32), self.size,
                        self.overlap)
         masks = self.predict_tiles(crops)
         return build_mask(masks, self.size, image.shape[:2],
                           self.threshold, self.overlap)
+
+    def predict_image_spatial(self, image):
+        """Whole-image forward, spatially sharded over the mesh."""
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        image = np.asarray(image, dtype=np.float32)
+        h, w = image.shape[:2]
+        # the UNet needs spatial dims divisible by 128; pad and crop back
+        ph, pw = _round_up(h, 128), _round_up(w, 128)
+        padded = np.zeros((1, ph, pw, image.shape[2]), np.float32)
+        padded[0, :h, :w] = image
+        if self.mesh is not None and self.n_devices > 1 and \
+                ph % self.n_devices == 0:
+            x = jax.device_put(
+                padded, NamedSharding(self.mesh, P(None, 'data')))
+        else:
+            x = jnp.asarray(padded)
+        probs = np.asarray(self._forward(self.g_params, x))[0, :h, :w]
+
+        if self.threshold > 0:
+            probs = np.where(probs >= self.threshold, 1.0, 0.0)
+        if probs.shape[-1] > 1:
+            return np.argmax(probs, axis=-1)
+        return probs[..., 0]

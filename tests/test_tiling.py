@@ -123,3 +123,29 @@ def test_inference_engine_mesh_sharded():
     assert sharded.batch_size % 8 == 0
     np.testing.assert_allclose(sharded.predict_image(img),
                                single.predict_image(img), atol=1e-6)
+
+
+def test_spatial_mode_matches_full_forward():
+    """mode='spatial' runs the whole (padded) image in one sharded
+    forward and matches the unsharded full-image forward."""
+    import jax
+    import jax.numpy as jnp
+    from patchgan_tpu.models import UNet
+    from patchgan_tpu.parallel.mesh import default_mesh
+
+    gen = UNet(input_nc=3, output_nc=2, nf=4, final_act='softmax',
+               use_pallas=False)
+    params = gen.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 128, 128, 3)))['params']
+    img = np.random.default_rng(6).uniform(size=(200, 300, 3)) \
+        .astype(np.float32)
+
+    engine = InferenceEngine(gen, params, size=128, mesh=default_mesh())
+    got = engine.predict_image(img, mode='spatial')
+
+    padded = np.zeros((1, 256, 384, 3), np.float32)
+    padded[0, :200, :300] = img
+    full = np.asarray(jax.jit(
+        lambda p, x: gen.apply({'params': p}, x))(params, padded))
+    expected = np.argmax(full[0, :200, :300], axis=-1)
+    np.testing.assert_array_equal(got, expected)
