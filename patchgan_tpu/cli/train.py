@@ -127,6 +127,11 @@ def patchgan_train(argv=None):
         trainer.load_transfer_checkpoints(
             config['transfer_learn']['generator_checkpoint'],
             config['transfer_learn']['discriminator_checkpoint'])
+        tl = config['transfer_learn']
+        if tl.get('freeze_encoder', False):
+            trainer.freeze_generator = ('enc',)
+        elif tl.get('freeze'):
+            trainer.freeze_generator = tuple(tl['freeze'])
 
     train_params = config['train_params']
     trainer.loss_type = train_params['loss_type']

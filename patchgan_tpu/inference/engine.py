@@ -57,12 +57,11 @@ class InferenceEngine:
         if padded != n:
             pad = np.zeros((padded - n,) + crops.shape[1:], crops.dtype)
             crops = np.concatenate([crops, pad], axis=0)
-        outs = []
-        for i in range(0, padded, bs):
-            batch = self._place(crops[i:i + bs])
-            outs.append(np.asarray(
-                self._forward(self.g_params, batch)))
-        return np.concatenate(outs, axis=0)[:n]
+        # dispatch every batch before fetching any result, so device
+        # compute and host transfers pipeline instead of ping-ponging
+        outs = [self._forward(self.g_params, self._place(crops[i:i + bs]))
+                for i in range(0, padded, bs)]
+        return np.concatenate([np.asarray(o) for o in outs], axis=0)[:n]
 
     def predict_image(self, image, mode='tiled'):
         """(H, W, C) image of arbitrary size -> (H, W) mask.

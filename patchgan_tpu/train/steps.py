@@ -38,7 +38,8 @@ class TrainState(NamedTuple):
     rng: Any
 
 
-def make_optimizer(learning_rate=1e-3, b1=0.9, b2=0.999, mu_dtype=None):
+def make_optimizer(learning_rate=1e-3, b1=0.9, b2=0.999, mu_dtype=None,
+                   freeze_patterns=()):
     """Adam with betas (0.9, 0.999) (reference trainer.py:169-172), with
     the learning rate exposed as mutable optimizer-state so epoch-level
     LR schedules never retrace the step.
@@ -46,9 +47,25 @@ def make_optimizer(learning_rate=1e-3, b1=0.9, b2=0.999, mu_dtype=None):
     ``mu_dtype=bfloat16`` stores the first moment in bf16, cutting
     optimizer HBM traffic (the step is bandwidth-bound; measured +4%
     img/s on v5e) at ~0.2% relative moment precision -- used by the CLI
-    whenever compute runs in bf16."""
-    return optax.inject_hyperparams(optax.adam, static_args=('mu_dtype',))(
+    whenever compute runs in bf16.
+
+    ``freeze_patterns`` freezes parameters whose '/'-joined tree path
+    starts with any given prefix (e.g. ('enc',) freezes the whole
+    encoder for transfer fine-tuning -- BASELINE.json config 3; the
+    reference cannot freeze anything)."""
+    tx = optax.inject_hyperparams(optax.adam, static_args=('mu_dtype',))(
         learning_rate=learning_rate, b1=b1, b2=b2, mu_dtype=mu_dtype)
+    if freeze_patterns:
+        def mask(params):
+            def frozen(path):
+                name = '/'.join(str(getattr(p, 'key', p)) for p in path)
+                return any(name.startswith(pat) for pat in freeze_patterns)
+            return jax.tree_util.tree_map_with_path(
+                lambda path, _: 'frozen' if frozen(path) else 'train',
+                params)
+        tx = optax.multi_transform(
+            {'train': tx, 'frozen': optax.set_to_zero()}, mask)
+    return tx
 
 
 def init_train_state(generator, discriminator, input_shape, out_channels,

@@ -47,7 +47,16 @@ from .steps import (TrainState, init_train_state, make_eval_step,
 
 
 def _set_learning_rate(opt_state, lr):
-    opt_state.hyperparams['learning_rate'] = np.float32(lr)
+    """Write the LR into every inject_hyperparams state, traversing
+    wrapper states (e.g. optax.multi_transform partitions when parameter
+    freezing is active)."""
+    if hasattr(opt_state, 'hyperparams'):
+        opt_state.hyperparams['learning_rate'] = np.float32(lr)
+    elif hasattr(opt_state, 'inner_states'):
+        for inner in opt_state.inner_states.values():
+            _set_learning_rate(getattr(inner, 'inner_state', inner), lr)
+    elif hasattr(opt_state, 'inner_state'):
+        _set_learning_rate(opt_state.inner_state, lr)
     return opt_state
 
 
@@ -65,6 +74,7 @@ class Trainer:
     profile_dir = None    # jax.profiler trace of the first train epoch
     save_optimizer_state = False  # also write exact-resume train state
     adam_mu_dtype = None  # bf16 halves first-moment HBM traffic
+    freeze_generator = ()  # path prefixes to freeze, e.g. ('enc',)
 
     def __init__(self, generator, discriminator, savefolder, device=None,
                  seed=0, mesh=None):
@@ -101,7 +111,9 @@ class Trainer:
     # construction helpers
     # ------------------------------------------------------------------
     def _make_optimizers(self, gen_lr, dsc_lr):
-        return (make_optimizer(gen_lr, mu_dtype=self.adam_mu_dtype),
+        return (make_optimizer(gen_lr, mu_dtype=self.adam_mu_dtype,
+                               freeze_patterns=tuple(
+                                   self.freeze_generator)),
                 make_optimizer(dsc_lr, mu_dtype=self.adam_mu_dtype))
 
     def _keymaps(self):

@@ -209,3 +209,27 @@ def test_exact_resume_with_optimizer_state(tmp_path, rng):
     for a, b in zip(jax.tree_util.tree_leaves(full_params),
                     jax.tree_util.tree_leaves(resumed_params)):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+
+
+def test_freeze_encoder_transfer_finetune(tmp_path, rng):
+    """Transfer fine-tune with a frozen encoder (BASELINE.json config 3):
+    encoder params must stay bit-identical while the decoder trains."""
+    trainer = make_trainer(tmp_path)
+    trainer.freeze_generator = ('enc',)
+    trainer._step_cache.clear()
+    trainer._gen_tx, trainer._disc_tx = trainer._make_optimizers(1e-3,
+                                                                 1e-3)
+    before = jax.device_get(trainer.state.g_params)
+    x, y = synth_batch(rng, n=2)
+    data = [(x, y)]
+    trainer.train(data, data, epochs=1, save_freq=10)
+    after = jax.device_get(trainer.state.g_params)
+
+    for i in range(7):
+        np.testing.assert_array_equal(after[f'enc{i}']['kernel'],
+                                      before[f'enc{i}']['kernel'])
+    changed = any(
+        not np.array_equal(after[f'dec{i}']['kernel'],
+                           before[f'dec{i}']['kernel'])
+        for i in range(7))
+    assert changed, "decoder did not train"
