@@ -85,14 +85,12 @@ def test_instance_norm_matches_torch(rng):
 
 def test_instance_norm_fused_activation(rng):
     x = rng.normal(size=(2, 4, 4, 3)).astype(np.float32)
-    xn = _nhwc(x.transpose(0, 3, 1, 2))  # just use as-is NHWC
     plain = instance_norm(x, use_pallas=False)
     fused = instance_norm(x, activation='leakyrelu', use_pallas=False)
     expected = np.where(np.asarray(plain) >= 0, np.asarray(plain),
                         0.2 * np.asarray(plain))
     np.testing.assert_allclose(np.asarray(fused), expected, rtol=1e-5,
                                atol=1e-6)
-    del xn
 
 
 def test_instance_norm_bf16_fp32_stats(rng):

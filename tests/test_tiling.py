@@ -90,7 +90,6 @@ def test_square_crops_match_reference_tiler():
 
 def test_inference_engine_batched_tiles():
     """Engine pads tile batches to a fixed bucket and discards padding."""
-    import jax.numpy as jnp
 
     class IdentityHead:
         def apply(self, variables, x, train=False):
@@ -102,7 +101,6 @@ def test_inference_engine_batched_tiles():
                              threshold=0, batch_size=4)
     out = engine.predict_image(img)
     np.testing.assert_allclose(out, img[..., 0] * 2.0, atol=1e-5)
-    del jnp
 
 
 def test_inference_engine_mesh_sharded():

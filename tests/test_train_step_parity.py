@@ -53,7 +53,6 @@ def test_one_train_step_matches_reference(tmp_path, rng, loss_type):
     from patchgan_tpu.train import Trainer
     from patchgan_tpu.utils.transfer import (disc_key_map,
                                              export_state_dict,
-                                             load_transfer_data,
                                              unet_key_map)
 
     nf = 4
