@@ -84,6 +84,17 @@ class COCOStuffDataset:
         labelmap = native.decode_png_gray(self.masks[index], size) + 1
         return image, labelmap
 
+    def load_raw_u8(self, index):
+        """Transfer-optimal decode: (uint8 HWC image, uint8 HW RAW
+        labelmap WITHOUT the +1 offset). The input pipeline normalises
+        and one-hots on device (loader.py), so the host->device copy is
+        a quarter of the float32 path's bytes."""
+        from . import native
+        size = self.size if self._resize_enabled() else None
+        image = native.decode_jpeg_rgb_u8(self.images[index], size)
+        labelmap = native.decode_png_gray_u8(self.masks[index], size)
+        return image, labelmap
+
     def one_hot(self, labelmap):
         """(H, W) labelmap -> (H, W, n_labels) float32 one-hot over the
         configured labels (io.py:54-56)."""

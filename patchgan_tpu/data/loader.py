@@ -35,11 +35,16 @@ from ..parallel.mesh import shard_batch
 @partial(jax.jit, static_argnames=('flip', 'dtype'))
 def _augment_batch(images, labelmaps, labels, key, flip=False,
                    dtype=jnp.float32):
-    """images: (N,H,W,C) float32; labelmaps: (N,H,W) int32;
-    labels: (L,) int32. Returns (x, y) with y one-hot, flips applied
-    consistently to both."""
+    """images: (N,H,W,C) float32 in [0,1] or uint8 (normalised here, on
+    device, so uint8 batches cross the host->device link at a quarter of
+    the float32 bytes); labelmaps: (N,H,W) integer; labels: (L,) int32
+    (already offset to match the labelmap encoding). Returns (x, y) with
+    y one-hot, flips applied consistently to both."""
     x = images.astype(dtype)
-    y = (labelmaps[..., None] == labels[None, None, None, :]).astype(dtype)
+    if images.dtype == jnp.uint8:
+        x = x / jnp.asarray(255.0, dtype)
+    y = (labelmaps.astype(jnp.int32)[..., None]
+         == labels[None, None, None, :]).astype(dtype)
     if flip:
         n = x.shape[0]
         hkey, vkey = jax.random.split(key)
@@ -98,8 +103,13 @@ class DataLoader:
             batches.append(idx[-rem:])
         return batches
 
+    def _raw_fn(self):
+        # transfer-optimal uint8 decode when the dataset provides it
+        return getattr(self.dataset, 'load_raw_u8', None) or \
+            self.dataset.load_raw
+
     def _fetch_raw(self, pool, indices):
-        pairs = list(pool.map(self.dataset.load_raw, indices))
+        pairs = list(pool.map(self._raw_fn(), indices))
         images = np.stack([p[0] for p in pairs])
         labelmaps = np.stack([p[1] for p in pairs])
         return images, labelmaps
@@ -124,8 +134,12 @@ class DataLoader:
                     == 'randomcrop+flip') and self.device_augment
         labels = None
         if self.device_augment:
-            labels = jnp.asarray(
-                np.asarray(self.dataset.labels, dtype=np.int32))
+            labels = np.asarray(self.dataset.labels, dtype=np.int32)
+            if getattr(self.dataset, 'load_raw_u8', None) is not None:
+                # the u8 fast path ships RAW labelmaps (no +1 offset,
+                # coco.py load_raw_u8); offset the label table instead
+                labels = labels - 1
+            labels = jnp.asarray(labels)
 
         out_q = queue.Queue(maxsize=self.prefetch)
         sentinel = object()

@@ -46,6 +46,9 @@ def _load():
         lib.pg_jpeg_decode_rgb_resize.argtypes = [
             ctypes.c_char_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_float)]
+        lib.pg_jpeg_decode_rgb_resize_u8.argtypes = [
+            ctypes.c_char_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8)]
         lib.pg_png_info.argtypes = lib.pg_jpeg_info.argtypes
         lib.pg_png_decode_gray_resize.argtypes = [
             ctypes.c_char_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
@@ -83,6 +86,35 @@ def decode_jpeg_rgb(path, size=None):
     return out
 
 
+def decode_jpeg_rgb_u8(path, size=None):
+    """Decode a JPEG to uint8 HWC RGB; optionally resize (bilinear,
+    rounded to uint8). The uint8 form keeps host->device transfers at a
+    quarter of the float32 bytes; normalisation (/255) happens on device
+    in the input pipeline. Falls back to PIL."""
+    lib = _load()
+    if lib is None:
+        return _pil_jpeg_u8(path, size)
+    with open(path, 'rb') as f:
+        data = f.read()
+    h, w = ctypes.c_int(), ctypes.c_int()
+    if lib.pg_jpeg_info(data, len(data), ctypes.byref(h),
+                        ctypes.byref(w)):
+        return _pil_jpeg_u8(path, size)
+    oh, ow = (size, size) if size else (h.value, w.value)
+    out = np.empty((oh, ow, 3), dtype=np.uint8)
+    rc = lib.pg_jpeg_decode_rgb_resize_u8(
+        data, len(data), oh, ow,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if rc:
+        return _pil_jpeg_u8(path, size)
+    return out
+
+
+def decode_png_gray_u8(path, size=None):
+    """uint8 labelmap variant of decode_png_gray (PNG gray fits u8)."""
+    return decode_png_gray(path, size).astype(np.uint8)
+
+
 def decode_png_gray(path, size=None):
     """Decode a grayscale PNG to int32 HW; optionally nearest-resize to
     (size, size). Falls back to PIL."""
@@ -110,6 +142,14 @@ def _pil_jpeg(path, size):
     if size:
         img = img.resize((size, size), Image.BILINEAR)
     return np.asarray(img, dtype=np.float32) / 255.0
+
+
+def _pil_jpeg_u8(path, size):
+    from PIL import Image
+    img = Image.open(path).convert('RGB')
+    if size:
+        img = img.resize((size, size), Image.BILINEAR)
+    return np.asarray(img, dtype=np.uint8)
 
 
 def _pil_png(path, size):

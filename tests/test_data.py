@@ -100,8 +100,10 @@ def test_loader_device_flip_consistency(coco_dir):
             (img0[::-1, ::-1], mask0[::-1, ::-1]),
         ]
         matched = False
+        # the u8 fast path quantises resized pixels to 1/255 before the
+        # on-device /255, so allow that much slack vs the float path
         for k, (ci, cm) in enumerate(candidates):
-            if np.allclose(x[i], ci, atol=1e-6):
+            if np.allclose(x[i], ci, atol=0.003):
                 np.testing.assert_allclose(y[i], cm, atol=1e-6)
                 matched = True
                 any_flipped |= k > 0
