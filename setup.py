@@ -27,6 +27,7 @@ setup(
         'console_scripts': [
             'patchgan_train = patchgan_tpu.cli.train:patchgan_train',
             'patchgan_infer = patchgan_tpu.cli.infer:patchgan_infer',
+            'patchgan_eval = patchgan_tpu.cli.evaluate:patchgan_eval',
         ]
     },
     python_requires='>=3.10',

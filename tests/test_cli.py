@@ -191,3 +191,35 @@ def test_infer_cli_end_to_end(coco_tree):
     assert len(preds) == 4
     arr = np.asarray(Image.open(coco_tree / 'predictions' / preds[0]))
     assert arr.shape == (SIZE, SIZE)
+
+
+def test_eval_cli(coco_tree, capsys):
+    from patchgan_tpu.cli.evaluate import patchgan_eval
+
+    cfg = nested_config(coco_tree)
+    cfg_path = write_config(coco_tree, cfg)
+    patchgan_train(['-c', cfg_path, '-n', '1', '-b', '4',
+                    '--dtype', 'float32'])
+
+    eval_cfg = {
+        'dataset': {
+            'type': 'COCOStuff', 'size': SIZE, 'labels': [1, 2],
+            'validation_data': {
+                'images': str(coco_tree / 'val' / 'images'),
+                'masks': str(coco_tree / 'val' / 'masks'),
+            },
+        },
+        'model_params': cfg['model_params'],
+        'checkpoint_paths': {
+            'generator': os.path.join(cfg['checkpoint_path'],
+                                      'generator_ep_001.npz'),
+        },
+    }
+    eval_path = write_config(coco_tree, eval_cfg, 'eval.yaml')
+    capsys.readouterr()
+    result = patchgan_eval(['-c', eval_path, '-b', '4',
+                            '--dtype', 'float32'])
+    assert result['n_images'] == 4
+    assert 0.0 <= result['value'] <= 1.0
+    out = capsys.readouterr().out
+    assert '"metric": "mean_iou"' in out
