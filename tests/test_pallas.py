@@ -114,3 +114,30 @@ def test_model_level_pallas_vs_xla(rng):
     out_xla = m_xla.apply({'params': params}, x)
     np.testing.assert_allclose(np.asarray(out_pallas), np.asarray(out_xla),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_fused_conv_norm_act_interpret(rng):
+    """Experimental full conv+IN+act fusion: exact vs the unfused
+    reference in interpreter mode (hardware lowering tracked in
+    ROADMAP.md)."""
+    os.environ['PATCHGAN_FUSED_CONV'] = 'interpret'
+    try:
+        from patchgan_tpu.ops.pallas.conv_norm_act import (
+            _xla_reference, fused_conv_norm_act, fused_conv_supported)
+        x = jnp.asarray(rng.normal(size=(2, 32, 32, 16))
+                        .astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(4, 4, 16, 32))
+                        .astype(np.float32) * 0.1)
+        assert fused_conv_supported(x, w, 'relu')
+        got = fused_conv_norm_act(x, w, 1e-5, 'relu')
+        expected = _xla_reference(x, w, 1e-5, 'relu')
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                                   rtol=1e-4, atol=1e-5)
+        g1 = jax.grad(lambda x: jnp.sum(jnp.square(
+            fused_conv_norm_act(x, w, 1e-5, 'tanh'))))(x)
+        g2 = jax.grad(lambda x: jnp.sum(jnp.square(
+            _xla_reference(x, w, 1e-5, 'tanh'))))(x)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-4, atol=1e-5)
+    finally:
+        os.environ.pop('PATCHGAN_FUSED_CONV', None)
