@@ -21,14 +21,17 @@ gated to shapes whose VMEM working set fits and whose channel counts
 avoid catastrophic lane padding (Cin >= 16). Experimental: enable with
 PATCHGAN_FUSED_CONV=interpret (tests).
 
-STATUS: numerically exact in interpreter mode (fwd 3e-6, bwd 9e-7 vs
-the XLA reference) but NOT yet compilable by Mosaic on hardware: the
-parity-layout term loads are 5-D strided vector loads
-(vector<HoxkxWoxkxC>) that the current Mosaic vectorizer rejects, and
-the Python-unrolled alternative OOMs this host's 1-vCPU remote compile
-helper. Tracked in ROADMAP.md; the per-output-row formulation that
-Mosaic could lower degenerates into (Wo, Cin)x(Cin, Cout) matmuls too
-small to win on the MXU.
+STATUS: numerically exact (interpreter fwd 3e-6 / bwd 9e-7; on-TPU
+matches the unfused bf16 reference to bf16 rounding, and is in fact MORE
+accurate since the conv accumulator stays fp32 into the norm). Compiles
+and runs on v5e after two redesigns: parity planes are pre-split by XLA
+(in-kernel 5-D parity views hit an unimplemented Mosaic strided vector
+load) and the 16 terms are statically unrolled (dynamic sublane offsets
+are also unlowerable). Per-shape A/B through this host's axon relay is
+too noisy to gate on (4x run-to-run variance at the ~1 ms scale; e.g.
+(16,8,8,512,512) measured 1.8x FASTER and (16,16,16,512,512) 0.4x in
+adjacent runs), so the kernel stays opt-in until a directly-attached
+TPU can profile it; enable with PATCHGAN_FUSED_CONV=on.
 """
 
 import functools
@@ -74,36 +77,40 @@ def _interpret():
     return jax.default_backend() != 'tpu'
 
 
-def _kernel(x_ref, w_ref, y_ref, xv_ref, *, eps, activation):
-    _, h, wd, cin = x_ref.shape
-    ho, wo = h // 2, wd // 2
+def _parity_planes(x):
+    """XLA-side parity split of the 1-padded input: four (N, Hp, Wp, C)
+    planes with plane[py][px][n, a, b] = x_pad[n, 2a+py, 2b+px].
+    Materialising these costs one extra write of x, but keeps every load
+    inside the kernel a plain 4-D block slice that Mosaic can lower (the
+    in-kernel 5-D parity view hits an unimplemented strided vector
+    load)."""
+    n, h, wd, cin = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    hp, wp = (h + 2) // 2, (wd + 2) // 2
+    x5 = xp.reshape(n, hp, 2, wp, 2, cin)
+    return [[x5[:, :, py, :, px, :] for px in (0, 1)] for py in (0, 1)]
+
+
+def _kernel(p00_ref, p01_ref, p10_ref, p11_ref, w_ref, y_ref, *,
+            eps, activation):
+    _, hp, wp, cin = p00_ref.shape
+    ho, wo = hp - 1, wp - 1
     cout = w_ref.shape[-1]
-    h2, w2 = h // 2, wd // 2
+    planes = ((p00_ref, p01_ref), (p10_ref, p11_ref))
 
-    # Build the 1-padded input directly in PARITY layout
-    # ((h+2)/2, 2, (wd+2)/2, 2, C): padded index p = r+1 maps row r=2a+b
-    # to xv[a + b, 1 - b] -- four static block copies cover all parities.
-    xv_ref[...] = jnp.zeros_like(xv_ref)
-    x8 = x_ref[0].reshape(h2, 2, w2, 2, cin)
-    xv_ref[1:h2 + 1, 0, 1:w2 + 1, 0, :] = x8[:, 1, :, 1, :]
-    xv_ref[1:h2 + 1, 0, 0:w2, 1, :] = x8[:, 1, :, 0, :]
-    xv_ref[0:h2, 1, 1:w2 + 1, 0, :] = x8[:, 0, :, 1, :]
-    xv_ref[0:h2, 1, 0:w2, 1, :] = x8[:, 0, :, 0, :]
-
-    def term(i, acc):
-        # i = 4*dy + dx; fori keeps the Mosaic IR 16x smaller than a
-        # Python unroll (the remote compile helper OOMs otherwise); all
-        # dynamic offsets index REFS (Mosaic has no value dynamic_slice)
-        dy, dx = i // 4, i % 4
-        sl = xv_ref[pl.ds(dy // 2, ho), pl.ds(dy % 2, 1),
-                    pl.ds(dx // 2, wo), pl.ds(dx % 2, 1), :]
-        lhs = sl.reshape(ho * wo, cin)
-        rhs = w_ref[pl.ds(dy, 1), pl.ds(dx, 1), :, :].reshape(cin, cout)
-        return acc + jnp.dot(lhs, rhs,
-                             preferred_element_type=jnp.float32)
-
-    acc = jax.lax.fori_loop(
-        0, 16, term, jnp.zeros((ho * wo, cout), jnp.float32))
+    # fully static unroll: Mosaic cannot lower dynamic sublane offsets,
+    # and static slices let it relayout at compile time
+    acc = jnp.zeros((ho * wo, cout), jnp.float32)
+    for py in (0, 1):
+        for px in (0, 1):
+            ref = planes[py][px]
+            for a in (0, 1):
+                for b in (0, 1):
+                    sl = ref[0, a:a + ho, b:b + wo, :]
+                    lhs = sl.reshape(ho * wo, cin)
+                    rhs = w_ref[2 * a + py, 2 * b + px]
+                    acc = acc + jnp.dot(
+                        lhs, rhs, preferred_element_type=jnp.float32)
 
     # instance norm over spatial (rows of acc) per channel + activation
     count = jnp.float32(ho * wo)
@@ -119,7 +126,9 @@ def _forward(x, w, eps, activation):
     n, h, wd, cin = x.shape
     cout = w.shape[-1]
     ho, wo = h // 2, wd // 2
-    x_spec = pl.BlockSpec((1, h, wd, cin), lambda i: (i, 0, 0, 0),
+    hp, wp = ho + 1, wo + 1
+    planes = _parity_planes(x)
+    p_spec = pl.BlockSpec((1, hp, wp, cin), lambda i: (i, 0, 0, 0),
                           memory_space=pltpu.VMEM)
     w_spec = pl.BlockSpec((4, 4, cin, cout), lambda i: (0, 0, 0, 0),
                           memory_space=pltpu.VMEM)
@@ -128,13 +137,11 @@ def _forward(x, w, eps, activation):
     return pl.pallas_call(
         functools.partial(_kernel, eps=eps, activation=activation),
         grid=(n,),
-        in_specs=[x_spec, w_spec],
+        in_specs=[p_spec, p_spec, p_spec, p_spec, w_spec],
         out_specs=y_spec,
         out_shape=jax.ShapeDtypeStruct((n, ho, wo, cout), x.dtype),
-        scratch_shapes=[pltpu.VMEM(
-            ((h + 2) // 2, 2, (wd + 2) // 2, 2, cin), x.dtype)],
         interpret=_interpret(),
-    )(x, w)
+    )(planes[0][0], planes[0][1], planes[1][0], planes[1][1], w)
 
 
 def _xla_reference(x, w, eps, activation):
