@@ -41,11 +41,23 @@ class DownBlock(nn.Module):
         kernel = self.param(
             'kernel', xavier_uniform,
             (KERNEL_SIZE, KERNEL_SIZE, x.shape[-1], self.features))
-        x = conv2d(x.astype(self.dtype), kernel.astype(self.dtype))
+        x = x.astype(self.dtype)
+        kernel = kernel.astype(self.dtype)
         if self.use_norm:
-            x = instance_norm(x, eps=NORM_EPS, activation=self.activation,
-                              use_pallas=self.use_pallas)
+            # experimental single-pass conv+IN+act Pallas kernel
+            # (PATCHGAN_FUSED_CONV=on; see ops/pallas/conv_norm_act.py)
+            from ..ops.pallas.conv_norm_act import (fused_conv_norm_act,
+                                                    fused_conv_supported)
+            if fused_conv_supported(x, kernel, self.activation):
+                x = fused_conv_norm_act(x, kernel, NORM_EPS,
+                                        self.activation)
+            else:
+                x = conv2d(x, kernel)
+                x = instance_norm(x, eps=NORM_EPS,
+                                  activation=self.activation,
+                                  use_pallas=self.use_pallas)
         else:
+            x = conv2d(x, kernel)
             x = apply_activation(x, self.activation)
         if self.use_dropout:
             x = nn.Dropout(rate=DROPOUT_RATE, deterministic=not train)(x)

@@ -141,3 +141,24 @@ def test_fused_conv_norm_act_interpret(rng):
                                    rtol=1e-4, atol=1e-5)
     finally:
         os.environ.pop('PATCHGAN_FUSED_CONV', None)
+
+
+def test_model_level_fused_conv_vs_xla(rng):
+    """Full UNet forward with the fused conv+IN+act path (interpret)
+    matches the default path."""
+    os.environ['PATCHGAN_FUSED_CONV'] = 'interpret'
+    try:
+        from patchgan_tpu.models import UNet
+        x = jnp.asarray(rng.uniform(size=(1, 128, 128, 3))
+                        .astype(np.float32))
+        model = UNet(input_nc=3, output_nc=1, nf=16, final_act='sigmoid',
+                     use_pallas=False)
+        params = model.init(jax.random.PRNGKey(0), x)['params']
+        out_fused = model.apply({'params': params}, x)
+        os.environ.pop('PATCHGAN_FUSED_CONV', None)
+        out_plain = model.apply({'params': params}, x)
+        np.testing.assert_allclose(np.asarray(out_fused),
+                                   np.asarray(out_plain),
+                                   rtol=1e-4, atol=1e-5)
+    finally:
+        os.environ.pop('PATCHGAN_FUSED_CONV', None)
