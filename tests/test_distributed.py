@@ -109,3 +109,62 @@ def test_hybrid_data_model_parallel_matches_single_device(setup):
         tight = diff <= 2e-4 + 5e-3 * np.abs(b)
         assert np.mean(tight) >= 0.999
         assert np.max(diff) <= 2.5e-3
+
+
+def test_dcn_mesh_step_matches_single_device(setup):
+    """2x4 (dcn x ici) multi-slice mesh, batch sharded over both axes:
+    hierarchical gradient reduction must reproduce the single-device
+    update (parallel/multihost.py)."""
+    from patchgan_tpu.parallel.multihost import (dcn_mesh, replicate_dcn,
+                                                 shard_batch_dcn)
+
+    state, step, x, y = setup
+    new_single, losses_single = jax.jit(step)(state, jnp.asarray(x),
+                                              jnp.asarray(y))
+
+    mesh = dcn_mesh(2, 4)
+    assert mesh.axis_names == ('dcn', 'data')
+    assert mesh.devices.shape == (2, 4)
+    state_d = replicate_dcn(state, mesh)
+    xs, ys = shard_batch_dcn((x, y), mesh)
+    # each of the 8 chips holds exactly one sample of the batch of 8
+    assert len(xs.addressable_shards) == 8
+    assert xs.addressable_shards[0].data.shape[0] == 1
+    new_dcn, losses_dcn = jax.jit(step)(state_d, xs, ys)
+
+    for k in losses_single:
+        np.testing.assert_allclose(
+            np.asarray(losses_single[k]), np.asarray(losses_dcn[k]),
+            rtol=2e-4, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(new_single.g_params),
+                    jax.tree_util.tree_leaves(new_dcn.g_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=2e-4)
+
+
+def test_process_local_range_partition():
+    from patchgan_tpu.parallel.multihost import process_local_range
+
+    # 4 hosts x global batch 16 -> disjoint contiguous quarters
+    ranges = [process_local_range(16, i, 4) for i in range(4)]
+    assert ranges == [(0, 4), (4, 8), (8, 12), (12, 16)]
+    # single process owns everything (this environment)
+    assert process_local_range(16) == (0, 16)
+    with pytest.raises(ValueError):
+        process_local_range(10, 0, 4)
+
+
+def test_global_batch_from_local_single_process(setup):
+    """On one process, make_array_from_process_local_data must accept the
+    full batch and produce the same sharded array as shard_batch."""
+    from patchgan_tpu.parallel.multihost import (dcn_batch_sharding,
+                                                 dcn_mesh,
+                                                 global_batch_from_local,
+                                                 process_local_range)
+
+    _, _, x, y = setup
+    mesh = dcn_mesh(2, 4)
+    lo, hi = process_local_range(x.shape[0])
+    xs = global_batch_from_local(x[lo:hi], dcn_batch_sharding(mesh))
+    assert xs.shape == x.shape
+    np.testing.assert_array_equal(np.asarray(xs), x)
