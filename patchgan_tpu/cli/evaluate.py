@@ -47,14 +47,17 @@ def patchgan_eval(argv=None):
     Dataset, in_channels, out_channels, ds_kwargs = \
         build_dataset_factory(dataset_params)
 
+    # 'randomcrop' == resize-to-size (reference vocabulary, quirk Q3);
+    # evaluation wants deterministic resize, never flips
+    augmentation = dataset_params.get('augmentation', 'randomcrop')
     data = dataset_params.get('validation_data',
                               config.get('validation_data'))
     if data is not None:
         datagen = Dataset(data['images'], data['masks'], size=size,
-                          augmentation='randomcrop', **ds_kwargs)
+                          augmentation=augmentation, **ds_kwargs)
     else:
         datagen = Dataset(dataset_params['dataset_path'], size=size,
-                          augmentation='randomcrop', **ds_kwargs)
+                          augmentation=augmentation, **ds_kwargs)
 
     gen_cfg, _ = model_params(config)
     generator = UNet(input_nc=in_channels, output_nc=out_channels,

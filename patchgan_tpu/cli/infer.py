@@ -38,7 +38,8 @@ def patchgan_infer(argv=None):
     parser.add_argument('-c', '--config_file', required=True, type=str,
                         help='Location of the config YAML file')
     parser.add_argument('--dataloader_workers', default=4, type=int,
-                        help='(accepted for parity; decode is streamed)')
+                        help='Decode threads prefetching images ahead of '
+                             'the device (PIL/libjpeg release the GIL)')
     parser.add_argument('-d', '--device', default='auto',
                         help="Device to use: 'auto', 'tpu' or 'cpu'")
     parser.add_argument('--summary', default=True, action='store_true',
@@ -112,16 +113,34 @@ def patchgan_infer(argv=None):
                              overlap=overlap, threshold=threshold,
                              mesh=default_mesh())
 
-    for i in tqdm.tqdm(range(len(datagen)), desc='Predicting',
-                       dynamic_ncols=True, ascii=True):
+    def fetch(i):
         if hasattr(datagen, 'get_image'):
             image = datagen.get_image(i)
         else:
             item = datagen[i]
             image = item[0] if isinstance(item, tuple) else item
-        out_fname, _ = os.path.splitext(datagen.get_filename(i))
-        mask = engine.predict_image(image, mode=mode)
-        Dataset.save_mask(mask, output_path, out_fname)
+        return image
+
+    # decode runs in a thread pool with a bounded look-ahead window so
+    # the device never waits on the host decoder but memory stays flat
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    n = len(datagen)
+    workers = max(args.dataloader_workers, 1)
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        pending = deque(pool.submit(fetch, i)
+                        for i in range(min(2 * workers, n)))
+        next_submit = len(pending)
+        for i in tqdm.tqdm(range(n), desc='Predicting',
+                           dynamic_ncols=True, ascii=True):
+            image = pending.popleft().result()
+            if next_submit < n:
+                pending.append(pool.submit(fetch, next_submit))
+                next_submit += 1
+            out_fname, _ = os.path.splitext(datagen.get_filename(i))
+            mask = engine.predict_image(image, mode=mode)
+            Dataset.save_mask(mask, output_path, out_fname)
 
 
 if __name__ == '__main__':

@@ -15,7 +15,7 @@ sharded over the local device mesh, on-device augmentation.
 
 import argparse
 
-from ..data import COCOStuffDataset, DataLoader
+from ..data import DataLoader
 from ..data.split import random_split
 from ..models import Discriminator, UNet
 from ..utils.config import dataset_paths, load_config, model_params
@@ -65,9 +65,6 @@ def patchgan_train(argv=None):
         build_dataset_factory(dataset_params)
 
     def make_ds(paths):
-        if Dataset is COCOStuffDataset:
-            return Dataset(paths['images'], paths['masks'], size=size,
-                           augmentation=augmentation, **ds_kwargs)
         return Dataset(paths['images'], paths['masks'], size=size,
                        augmentation=augmentation, **ds_kwargs)
 
@@ -83,9 +80,13 @@ def patchgan_train(argv=None):
     from ..parallel.mesh import default_mesh
     mesh = default_mesh()
 
+    # dataset.cache: true for an unbounded decoded-image RAM cache, or a
+    # byte budget (e.g. 2_000_000_000); epochs >= 2 then skip the decoder
+    cache = dataset_params.get('cache', False)
     loader_kwargs = dict(batch_size=args.batch_size, shuffle=True,
                          num_workers=max(args.dataloader_workers, 1),
-                         mesh=mesh, dtype=dtype, seed=args.seed)
+                         mesh=mesh, dtype=dtype, seed=args.seed,
+                         cache=cache)
     train_data = DataLoader(train_datagen, drop_last=True, **loader_kwargs)
     val_data = DataLoader(val_datagen, drop_last=False, **loader_kwargs)
 

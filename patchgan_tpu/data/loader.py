@@ -63,7 +63,8 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size=16, shuffle=True,
                  drop_last=True, num_workers=4, prefetch=2, mesh=None,
-                 dtype=jnp.float32, seed=0, device_augment=None):
+                 dtype=jnp.float32, seed=0, device_augment=None,
+                 cache=False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle_enabled = shuffle
@@ -78,6 +79,17 @@ class DataLoader:
         if device_augment is None:
             device_augment = hasattr(dataset, 'load_raw')
         self.device_augment = device_augment
+        # decoded-image RAM cache: raw decode is deterministic (all
+        # randomness -- flips -- happens downstream on device), so
+        # epochs >= 2 never touch the JPEG/PNG decoder. cache=True is
+        # unbounded; an int caps the cache at that many BYTES and stops
+        # inserting once full (a partial cache still removes that
+        # fraction of decode work). A 256px uint8 pair is ~260 KB, so
+        # 10k images fit in ~2.6 GB.
+        self._cache = {} if cache else None
+        self._cache_budget = cache if isinstance(cache, int) \
+            and not isinstance(cache, bool) else None
+        self._cache_bytes = 0
 
     def __len__(self):
         n = len(self.dataset)
@@ -108,8 +120,25 @@ class DataLoader:
         return getattr(self.dataset, 'load_raw_u8', None) or \
             self.dataset.load_raw
 
+    def _load_raw_cached(self, index):
+        index = int(index)
+        hit = self._cache.get(index)
+        if hit is not None:
+            return hit
+        pair = self._raw_fn()(index)
+        nbytes = pair[0].nbytes + pair[1].nbytes
+        if self._cache_budget is None or \
+                self._cache_bytes + nbytes <= self._cache_budget:
+            # dict set is atomic under the GIL; a racing duplicate
+            # decode is harmless
+            self._cache[index] = pair
+            self._cache_bytes += nbytes
+        return pair
+
     def _fetch_raw(self, pool, indices):
-        pairs = list(pool.map(self._raw_fn(), indices))
+        fn = self._load_raw_cached if self._cache is not None \
+            else self._raw_fn()
+        pairs = list(pool.map(fn, indices))
         images = np.stack([p[0] for p in pairs])
         labelmaps = np.stack([p[1] for p in pairs])
         return images, labelmaps

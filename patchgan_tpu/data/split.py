@@ -5,8 +5,20 @@ import numpy as np
 
 
 class Subset:
-    """Index-remapped view of a dataset; forwards the attributes the
-    loader and trainer rely on (labels, augmentation, load_raw)."""
+    """Index-remapped view of a dataset.
+
+    Attribute access falls through to the wrapped dataset, so the view
+    advertises exactly the capabilities its base has: the loader's
+    ``hasattr(dataset, 'load_raw')`` / ``load_raw_u8`` feature probes
+    (loader.py) see the base's answer, and index-taking methods
+    (``load_raw``, ``load_raw_u8``, ``get_image``, ``get_filename``)
+    are remapped through the subset's indices. Round 1 forwarded only
+    ``load_raw``, silently dropping the uint8 fast path for any config
+    using ``data`` + ``train_val_split``.
+    """
+
+    _INDEX_METHODS = frozenset(
+        ('load_raw', 'load_raw_u8', 'get_image', 'get_filename'))
 
     def __init__(self, dataset, indices):
         self.dataset = dataset
@@ -18,16 +30,17 @@ class Subset:
     def __getitem__(self, i):
         return self.dataset[self.indices[i]]
 
-    def load_raw(self, i):
-        return self.dataset.load_raw(self.indices[i])
+    def __getattr__(self, name):
+        if name in ('dataset', 'indices'):  # guard pre-__init__ lookups
+            raise AttributeError(name)
+        attr = getattr(self.dataset, name)
+        if name in self._INDEX_METHODS and callable(attr):
+            indices = self.indices
 
-    @property
-    def labels(self):
-        return self.dataset.labels
-
-    @property
-    def augmentation(self):
-        return self.dataset.augmentation
+            def remapped(i, *args, _attr=attr, **kwargs):
+                return _attr(indices[i], *args, **kwargs)
+            return remapped
+        return attr
 
 
 def random_split(dataset, lengths, seed=0):

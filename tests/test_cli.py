@@ -12,6 +12,8 @@ from PIL import Image
 from patchgan_tpu.cli.infer import patchgan_infer
 from patchgan_tpu.cli.train import patchgan_train
 
+pytestmark = pytest.mark.slow
+
 SIZE = 128
 
 

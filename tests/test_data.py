@@ -157,3 +157,86 @@ def test_loader_propagates_worker_errors(tmp_path):
     loader = DataLoader(BrokenDataset(), batch_size=2, num_workers=1)
     with pytest.raises(RuntimeError, match="decode exploded"):
         list(loader)
+
+
+def test_subset_forwards_u8_fast_path(coco_dir):
+    """Round-1 bug (VERDICT weak #5): Subset forwarded load_raw but not
+    load_raw_u8, silently dropping the uint8 transfer fast path for any
+    data + train_val_split config."""
+    ds = COCOStuffDataset(*coco_dir, labels=[1, 2, 3], size=32,
+                          augmentation='randomcrop')
+    train, _ = random_split(ds, [0.75, 0.25], seed=0)
+    assert hasattr(train, 'load_raw_u8')
+    img_u8, lm_u8 = train.load_raw_u8(0)
+    assert img_u8.dtype == np.uint8 and lm_u8.dtype == np.uint8
+    # index remapping: subset item 0 is the base item at indices[0]
+    base_img, base_lm = ds.load_raw_u8(int(train.indices[0]))
+    np.testing.assert_array_equal(img_u8, base_img)
+    np.testing.assert_array_equal(lm_u8, base_lm)
+    # the loader's feature probe must pick the u8 path through the view
+    loader = DataLoader(train, batch_size=2, num_workers=1)
+    assert loader._raw_fn().__name__ == 'remapped'
+    x, y = next(iter(loader))
+    assert x.shape == (2, 32, 32, 3) and y.shape == (2, 32, 32, 3)
+    assert float(np.asarray(y).sum(axis=-1).min()) == 1.0
+
+
+def test_subset_does_not_advertise_missing_methods(coco_dir):
+    """A view over a plugin-style dataset without the raw decode API
+    must not pretend to have it (hasattr drives loader feature probes)."""
+    class Minimal:
+        labels = [1]
+        augmentation = None
+
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            return (np.zeros((8, 8, 3), np.float32),
+                    np.zeros((8, 8, 1), np.float32))
+
+    from patchgan_tpu.data.split import Subset
+    view = Subset(Minimal(), [0, 1])
+    assert not hasattr(view, 'load_raw')
+    assert not hasattr(view, 'load_raw_u8')
+    assert view.labels == [1]
+    loader = DataLoader(view, batch_size=2, num_workers=1)
+    assert not loader.device_augment
+    x, y = next(iter(loader))
+    assert x.shape == (2, 8, 8, 3)
+
+
+def test_loader_cache_skips_decoder_after_first_epoch(coco_dir):
+    ds = COCOStuffDataset(*coco_dir, labels=[1, 2, 3], size=32,
+                          augmentation='randomcrop')
+    calls = {'n': 0}
+    orig = ds.load_raw_u8
+
+    def counting(i):
+        calls['n'] += 1
+        return orig(i)
+    ds.load_raw_u8 = counting
+
+    loader = DataLoader(ds, batch_size=4, num_workers=2, cache=True)
+    first = [(np.asarray(x), np.asarray(y)) for x, y in loader]
+    assert calls['n'] == 8
+    second = [(np.asarray(x), np.asarray(y)) for x, y in loader]
+    assert calls['n'] == 8  # epoch 2 fully served from RAM
+    assert len(first) == len(second) == 2
+    assert loader._cache_bytes > 0
+
+
+def test_loader_cache_byte_budget(coco_dir):
+    ds = COCOStuffDataset(*coco_dir, labels=[1], size=32,
+                          augmentation='randomcrop')
+    pair = ds.load_raw_u8(0)
+    one = pair[0].nbytes + pair[1].nbytes
+    # room for only half the dataset: cache stops inserting when full,
+    # later epochs re-decode the uncached half
+    loader = DataLoader(ds, batch_size=4, num_workers=1, shuffle=False,
+                        cache=4 * one)
+    list(loader)
+    assert len(loader._cache) == 4
+    assert loader._cache_bytes <= 4 * one
+    list(loader)
+    assert len(loader._cache) == 4

@@ -4,10 +4,13 @@ raise validation IoU well above chance. Guards against silent breakage
 that shape/parity tests cannot see (e.g. wrong gradient wiring, dead
 losses, LR plumbing)."""
 
+import pytest
 import numpy as np
 
 from patchgan_tpu.models import Discriminator, UNet
 from patchgan_tpu.train import Trainer
+
+pytestmark = pytest.mark.slow
 
 
 def make_task(rng, n, size=128):
