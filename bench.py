@@ -6,11 +6,28 @@ jitted generator+discriminator update with donated state (the same step
 patchgan_train runs). Synthetic device-resident data isolates compute
 throughput from host IO.
 
-vs_baseline compares against an ESTIMATED PyTorch-on-A100 reference of
-400 img/s for this model/batch (the reference publishes no numbers,
-BASELINE.md; pix2pix-class 256px GAN training with cuDNN benchmark mode
-lands in the 300-500 img/s band on A100). This anchor is replaced by a
-measured torch number when hardware to measure it exists.
+Timing is DIFFERENTIAL: time(scan of 18 steps) - time(scan of 3 steps),
+divided by 15, inside jitted lax.scan programs. This is how the Trainer
+actually drives the chip (steps dispatched back-to-back, losses fetched
+with a one-step delay) and it cancels this dev environment's axon-relay
+dispatch round-trip (~0.7 ms/step, an artifact of the TPU tunnel, not
+of the framework; measured: naive per-dispatch timing reads ~950 img/s
+where the device step time is 15.1 ms = 1061 img/s). The long-scan
+result is still end-to-end real: one dispatch executes 18 full G+D
+updates on device.
+
+vs_baseline compares against a DERIVED PyTorch-on-A100 anchor of
+550 img/s (the reference publishes no numbers and no GPU exists here to
+measure it, BASELINE.md). Derivation -- reproducible via
+benchmarks/a100_anchor.py and written out in BENCHMARKS.md "A100 anchor
+derivation": the instrumented reference models cost 1131 GFLOP per
+batch-16 Trainer.batch step, giving a 2206 img/s A100 roofline ceiling
+at the 156 TFLOP/s TF32 tensor-core peak (compute-bound; eager fp32
+bytes 10.9 GB sit below the HBM roof), and eager fp32/NCHW training of
+conv+InstanceNorm stacks measures 20-30% of tensor-core peak in
+practice (NGC eager ResNet-50 MFU; our torch-CPU cross-check hits 34%
+of core peak WITH zero launch overhead) -> 440-660 img/s band, midpoint
+550. Replaced by a measured number if GPU hardware ever materialises.
 
 Prints exactly ONE JSON line.
 """
@@ -24,9 +41,10 @@ import numpy as np
 
 BATCH = 16
 SIZE = 256
-WARMUP = 5
-ITERS = 30
-A100_TORCH_EST_IMG_S = 400.0
+SHORT = 3
+LONG = 18
+REPS = 4
+A100_TORCH_ANCHOR_IMG_S = 550.0  # derived; see module docstring
 
 
 def main():
@@ -42,10 +60,8 @@ def main():
     disc_tx = make_optimizer(1e-3, mu_dtype=jnp.bfloat16)
     state = init_train_state(gen, disc, (1, SIZE, SIZE, 3), 1, gen_tx,
                              disc_tx, seed=0)
-
-    step = jax.jit(make_train_step(gen, disc, gen_tx, disc_tx,
-                                   loss_type='tversky', seg_alpha=200.0),
-                   donate_argnums=(0,))
+    step = make_train_step(gen, disc, gen_tx, disc_tx,
+                           loss_type='tversky', seg_alpha=200.0)
 
     rng = np.random.default_rng(0)
     x = jax.device_put(rng.uniform(size=(BATCH, SIZE, SIZE, 3))
@@ -53,26 +69,40 @@ def main():
     y = jax.device_put((rng.uniform(size=(BATCH, SIZE, SIZE, 1)) > 0.5)
                        .astype(np.float32))
 
-    for _ in range(WARMUP):
-        state, losses = step(state, x, y)
-    # force the dependency chain by fetching a loss scalar: through the
-    # axon tunnel, block_until_ready alone has been observed to return
-    # before the dispatched chain actually finishes
-    float(losses['gen'])
+    def scan_of(length):
+        @jax.jit
+        def run(st):
+            def body(s, _):
+                s, losses = step(s, x, y)
+                return s, losses['gen']
+            s, gens = jax.lax.scan(body, st, length=length)
+            return gens[-1]
+        return run
 
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        state, losses = step(state, x, y)
-    g_final = float(losses['gen'])
-    elapsed = time.perf_counter() - t0
-    assert np.isfinite(g_final), "non-finite generator loss in benchmark"
+    run_s, run_l = scan_of(SHORT), scan_of(LONG)
+    # compile + warm; fetching the scalar forces the dependency chain
+    # (through the axon tunnel block_until_ready can return early)
+    g = float(run_s(state))
+    g = float(run_l(state))
+    assert np.isfinite(g), "non-finite generator loss in benchmark"
 
-    img_s = BATCH * ITERS / elapsed
+    best_s = best_l = float('inf')
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        float(run_s(state))
+        best_s = min(best_s, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        g = float(run_l(state))
+        best_l = min(best_l, time.perf_counter() - t0)
+    assert np.isfinite(g)
+
+    dt = (best_l - best_s) / (LONG - SHORT)
+    img_s = BATCH / dt
     print(json.dumps({
         'metric': 'train_images_per_sec_per_chip',
         'value': round(img_s, 2),
         'unit': 'img/s',
-        'vs_baseline': round(img_s / A100_TORCH_EST_IMG_S, 3),
+        'vs_baseline': round(img_s / A100_TORCH_ANCHOR_IMG_S, 3),
     }))
 
 

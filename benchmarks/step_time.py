@@ -1,0 +1,115 @@
+"""Differential-scan timing of the FULL train step (noise-proof).
+
+Variants of the headline step (256px, batch 16, bf16) are timed as
+time(scan of L steps) - time(scan of S steps) over (L-S) steps, inside
+one jitted program, so the axon relay's ~1 ms dispatch round-trip and
+host jitter cancel. Variants are interleaved across reps so slow drift
+(thermal, host load) hits all arms equally.
+
+Usage: python benchmarks/step_time.py --variants xla,fused,remat_deep
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+SIZE = 256
+DEEP = ('enc4', 'enc5', 'enc6', 'dec0', 'dec1', 'dec2')
+
+# name: (fused_conv_mode, remat, grad_dtype)
+VARIANTS = {
+    'xla': ('off', False, None),
+    'fused': ('auto', False, None),
+    'remat_deep': ('off', DEEP, None),
+    'fused+remat_deep': ('auto', DEEP, None),
+    'gradbf16': ('off', False, 'bf16'),
+    'all': ('auto', DEEP, 'bf16'),
+}
+
+
+def build(fused_mode, remat, grad_dtype, batch):
+    os.environ['PATCHGAN_FUSED_CONV'] = fused_mode
+    from patchgan_tpu.models import Discriminator, UNet
+    from patchgan_tpu.train.steps import (init_train_state, make_optimizer,
+                                          make_train_step)
+
+    gen = UNet(input_nc=3, output_nc=1, nf=64, final_act='sigmoid',
+               dtype=jnp.bfloat16, remat=remat)
+    disc = Discriminator(input_nc=4, ndf=64, n_layers=3, dtype=jnp.bfloat16)
+    gen_tx = make_optimizer(1e-3, mu_dtype=jnp.bfloat16)
+    disc_tx = make_optimizer(1e-3, mu_dtype=jnp.bfloat16)
+    state = init_train_state(gen, disc, (1, SIZE, SIZE, 3), 1, gen_tx,
+                             disc_tx, seed=0)
+    gd = jnp.bfloat16 if grad_dtype == 'bf16' else None
+    step = make_train_step(gen, disc, gen_tx, disc_tx,
+                           loss_type='tversky', seg_alpha=200.0,
+                           grad_dtype=gd)
+
+    rng = np.random.default_rng(0)
+    x = jax.device_put(rng.uniform(size=(batch, SIZE, SIZE, 3))
+                       .astype(np.float32))
+    y = jax.device_put((rng.uniform(size=(batch, SIZE, SIZE, 1)) > 0.5)
+                       .astype(np.float32))
+
+    def scan_of(length):
+        @jax.jit
+        def run(state):
+            def body(st, _):
+                st, losses = step(st, x, y)
+                return st, losses['gen']
+            st, gens = jax.lax.scan(body, state, length=length)
+            return gens[-1]
+        return run
+
+    return state, scan_of
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--batch', type=int, default=16)
+    ap.add_argument('--short', type=int, default=3)
+    ap.add_argument('--long', type=int, default=18)
+    ap.add_argument('--reps', type=int, default=4)
+    ap.add_argument('--variants', default='xla,fused,remat_deep')
+    args = ap.parse_args()
+    names = args.variants.split(',')
+
+    runners = {}
+    for name in names:
+        fused_mode, remat, gd = VARIANTS[name]
+        state, scan_of = build(fused_mode, remat, gd, args.batch)
+        rs, rl = scan_of(args.short), scan_of(args.long)
+        g = float(rs(state))
+        assert np.isfinite(g), (name, 'short', g)
+        g = float(rl(state))
+        assert np.isfinite(g), (name, 'long', g)
+        runners[name] = (state, rs, rl)
+
+    best = {n: [float('inf'), float('inf')] for n in names}
+    for _ in range(args.reps):
+        for n in names:  # interleave variants within each rep
+            state, rs, rl = runners[n]
+            t0 = time.perf_counter()
+            float(rs(state))
+            best[n][0] = min(best[n][0], time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            float(rl(state))
+            best[n][1] = min(best[n][1], time.perf_counter() - t0)
+
+    for n in names:
+        dt = (best[n][1] - best[n][0]) / (args.long - args.short)
+        print(json.dumps({'variant': n,
+                          'step_ms': round(dt * 1e3, 3),
+                          'img_s': round(args.batch / dt, 1)}), flush=True)
+
+
+if __name__ == '__main__':
+    main()

@@ -114,6 +114,14 @@ def patchgan_train(argv=None):
         trainer._step_cache.clear()
 
     if args.summary:
+        # torchinfo-style per-layer output-shape tables (reference
+        # train.py:102-104 uses depth=4 for the generator)
+        from ..utils.summary import summarize_forward
+        summarize_forward(generator, (1, size, size, in_channels),
+                          depth=4, train=False)
+        summarize_forward(
+            discriminator, (1, size, size, in_channels + out_channels),
+            depth=3)
         summarize('UNet generator',
                   jax.device_get(trainer.state.g_params),
                   (1, size, size, in_channels))

@@ -14,6 +14,7 @@ xavier_uniform_ (/root/reference/patchgan/trainer.py:338-339).
 """
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..ops.activations import apply_activation
@@ -35,6 +36,7 @@ class DownBlock(nn.Module):
     use_norm: bool = True
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = True
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train=False):
@@ -43,22 +45,33 @@ class DownBlock(nn.Module):
             (KERNEL_SIZE, KERNEL_SIZE, x.shape[-1], self.features))
         x = x.astype(self.dtype)
         kernel = kernel.astype(self.dtype)
-        if self.use_norm:
-            # experimental single-pass conv+IN+act Pallas kernel
-            # (PATCHGAN_FUSED_CONV=on; see ops/pallas/conv_norm_act.py)
-            from ..ops.pallas.conv_norm_act import (fused_conv_norm_act,
-                                                    fused_conv_supported)
-            if fused_conv_supported(x, kernel, self.activation):
-                x = fused_conv_norm_act(x, kernel, NORM_EPS,
-                                        self.activation)
-            else:
-                x = conv2d(x, kernel)
-                x = instance_norm(x, eps=NORM_EPS,
-                                  activation=self.activation,
-                                  use_pallas=self.use_pallas)
-        else:
-            x = conv2d(x, kernel)
-            x = apply_activation(x, self.activation)
+
+        def core(x, kernel):
+            if self.use_norm:
+                # single-pass conv+IN+act Pallas kernel, shape-gated by
+                # the measured dispatch table (PATCHGAN_FUSED_CONV=auto,
+                # the default; 'on' forces it everywhere supported, 'off'
+                # disables; see ops/pallas/conv_norm_act.py)
+                from ..ops.pallas.conv_norm_act import (fused_conv_norm_act,
+                                                        fused_conv_supported)
+                if fused_conv_supported(x, kernel, self.activation,
+                                        train=train):
+                    return fused_conv_norm_act(x, kernel, NORM_EPS,
+                                               self.activation)
+                out = conv2d(x, kernel)
+                return instance_norm(out, eps=NORM_EPS,
+                                     activation=self.activation,
+                                     use_pallas=self.use_pallas)
+            return apply_activation(conv2d(x, kernel), self.activation)
+
+        if self.remat:
+            # save only the block input (alive anyway as a skip) and
+            # recompute conv+norm+act in the backward pass: trades extra
+            # MXU flops for HBM residual traffic on the bandwidth-bound
+            # train step. Dropout stays outside the checkpoint so its rng
+            # plumbing never crosses the remat boundary.
+            core = jax.checkpoint(core)
+        x = core(x, kernel)
         if self.use_dropout:
             x = nn.Dropout(rate=DROPOUT_RATE, deterministic=not train)(x)
         return x
@@ -79,6 +92,7 @@ class UpBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = True
     fp32_act: bool = False  # final output head: activation in fp32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, skip=None, train=False):
@@ -88,17 +102,38 @@ class UpBlock(nn.Module):
             (KERNEL_SIZE, KERNEL_SIZE, in_ch, self.features))
         x = x.astype(self.dtype)
         skip = skip.astype(self.dtype) if skip is not None else None
-        x = conv_transpose2d(x, kernel.astype(self.dtype), x2=skip)
-        if self.use_norm:
-            x = instance_norm(x, eps=NORM_EPS, activation=self.activation,
-                              use_pallas=self.use_pallas)
-        else:
+
+        def core(x, skip, kernel):
+            if self.use_norm:
+                # single-pass convT+IN+act Pallas kernel, shape-gated by
+                # its measured dispatch table (PATCHGAN_FUSED_CONVT=auto
+                # default; see ops/pallas/convt_norm_act.py)
+                from ..ops.pallas.convt_norm_act import (
+                    fused_convt_norm_act, fused_convt_supported)
+                if fused_convt_supported(x, kernel, self.activation,
+                                         skip=skip, train=train):
+                    # positional call: custom_vjp functions reject
+                    # keyword arguments
+                    return fused_convt_norm_act(x, kernel, NORM_EPS,
+                                                self.activation, skip)
+            out = conv_transpose2d(x, kernel, x2=skip)
+            if self.use_norm:
+                return instance_norm(out, eps=NORM_EPS,
+                                     activation=self.activation,
+                                     use_pallas=self.use_pallas)
             # the output head's sigmoid/softmax runs in fp32: bf16
             # saturates to exact 0/1 at |logit| ~ 9, which kills BCE
             # gradients and probability resolution
             if self.fp32_act:
-                x = x.astype(jnp.float32)
-            x = apply_activation(x, self.activation)
+                out = out.astype(jnp.float32)
+            return apply_activation(out, self.activation)
+
+        if self.remat:
+            # both inputs (previous decoder level + encoder skip) are
+            # already live residuals, so checkpointing here stores
+            # nothing new and drops the convT/norm intermediates
+            core = jax.checkpoint(core)
+        x = core(x, skip, kernel.astype(self.dtype))
         if self.use_dropout:
             x = nn.Dropout(rate=DROPOUT_RATE, deterministic=not train)(x)
         return x

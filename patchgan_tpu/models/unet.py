@@ -42,6 +42,16 @@ class UNet(nn.Module):
     final_act: str = 'softmax'
     dtype: Any = jnp.float32
     use_pallas: bool = True
+    remat: Any = False  # True: checkpoint every block (recompute
+    #   conv+norm+act in backward instead of storing intermediates);
+    #   tuple of block names ('enc4', 'dec0', ...): checkpoint only
+    #   those -- deep 512-channel blocks trade recompute for residual
+    #   HBM traffic profitably, shallow ones do not (BENCHMARKS.md)
+
+    def _remat(self, name):
+        if self.remat is True or self.remat is False:
+            return self.remat
+        return name in self.remat
 
     @nn.compact
     def __call__(self, x, train=False, return_hidden=False):
@@ -62,6 +72,7 @@ class UNet(nn.Module):
         for i, f in enumerate(filts):
             x = DownBlock(f, self.activation, use_dropout=self.use_dropout,
                           dtype=self.dtype, use_pallas=self.use_pallas,
+                          remat=self._remat(f'enc{i}'),
                           name=f'enc{i}')(x, train=train)
             skips.append(x)
 
@@ -71,15 +82,18 @@ class UNet(nn.Module):
         dec_filts = filts[:-1][::-1]  # [8nf, 8nf, 8nf, 4nf, 2nf, nf]
         x = UpBlock(dec_filts[0], self.activation, use_norm=False,
                     dtype=self.dtype, use_pallas=self.use_pallas,
+                    remat=self._remat('dec0'),
                     name='dec0')(hidden, train=train)
         for i in range(1, len(dec_filts)):
             x = UpBlock(dec_filts[i], self.activation, use_norm=True,
                         use_dropout=self.use_dropout, dtype=self.dtype,
                         use_pallas=self.use_pallas,
+                        remat=self._remat(f'dec{i}'),
                         name=f'dec{i}')(x, skip=rev[i], train=train)
         x = UpBlock(self.output_nc, self.final_act, use_norm=False,
                     dtype=self.dtype, use_pallas=self.use_pallas,
                     fp32_act=True,
+                    remat=self._remat(f'dec{len(dec_filts)}'),
                     name=f'dec{len(dec_filts)}')(x, skip=rev[len(dec_filts)],
                                                  train=train)
 

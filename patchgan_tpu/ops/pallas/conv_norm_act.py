@@ -47,10 +47,33 @@ from .norm_act import _act, _act_grad  # shared activation table
 # VMEM working-set cap for the gate (bytes, rough accounting)
 _MAX_VMEM = 10 * 1024 * 1024
 
+# Measured dispatch table (benchmarks/fused_conv_table.py on v5e,
+# differential scan timing so the ~1 ms relay dispatch cost cancels;
+# bf16, batch 16): (H, W, Cin, Cout) -> regimes ('train'/'infer') where
+# the fused kernel beats XLA at FULL-MODEL level. Current state, 2026-08:
+# EMPTY. Isolated per-op timing: XLA's conv emitter wins every
+# forward-only UNet shape (0.14x-0.70x; the custom-call boundary plus
+# lane-padded shallow matmuls cost more than the saved norm round-trip),
+# and the one isolated training win -- 1.59x at 16x16x512->512, where
+# fused-fwd + XLA-recompute-bwd acts as profitable remat -- INVERTS when
+# enabled inside the full train step (benchmarks/step_time.py: 15.08 ms
+# XLA vs 15.85 ms with enc4 fused; the boundary breaks XLA's fusion of
+# the surrounding ops). 'auto' therefore currently always chooses XLA;
+# the table is the mechanism for future libtpu/Mosaic versions where the
+# balance shifts. Regenerate with both harnesses when kernels change.
+_AUTO_TABLE = {}
 
-def fused_conv_supported(x, w, activation):
-    if os.environ.get('PATCHGAN_FUSED_CONV', 'off') not in ('on',
-                                                            'interpret'):
+
+def _auto_enabled(h, wd, cin, cout, train):
+    regimes = _AUTO_TABLE.get((h, wd, cin, cout))
+    if not regimes:
+        return False
+    return ('train' if train else 'infer') in regimes
+
+
+def fused_conv_supported(x, w, activation, train=False):
+    mode = os.environ.get('PATCHGAN_FUSED_CONV', 'auto')
+    if mode not in ('on', 'interpret', 'auto'):
         return False
     if activation not in (None, 'tanh', 'relu', 'leakyrelu'):
         return False
@@ -62,6 +85,14 @@ def fused_conv_supported(x, w, activation):
         return False
     if cin < 16:
         return False  # lane padding would blow up VMEM
+    if mode == 'auto':
+        # the dispatch table is measured on TPU; on other backends the
+        # kernel would run interpreted (correct but slow), so 'auto'
+        # never selects it there
+        if jax.default_backend() != 'tpu':
+            return False
+        if not _auto_enabled(h, wd, cin, cout, train):
+            return False
     ho, wo = h // 2, wd // 2
     itemsize = x.dtype.itemsize
     vmem = ((h + 2) * (wd + 2) * max(cin, 128) * itemsize  # padded input

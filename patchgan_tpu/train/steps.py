@@ -53,7 +53,12 @@ def make_optimizer(learning_rate=1e-3, b1=0.9, b2=0.999, mu_dtype=None,
     starts with any given prefix (e.g. ('enc',) freezes the whole
     encoder for transfer fine-tuning -- BASELINE.json config 3; the
     reference cannot freeze anything)."""
-    tx = optax.inject_hyperparams(optax.adam, static_args=('mu_dtype',))(
+    # hyperparam_dtype pinned to fp32: inject_hyperparams otherwise casts
+    # hyperparams to the UPDATES' dtype, and in bf16 b2=0.999 rounds to
+    # 1.0 -- zero bias correction, NaN on the first step with bf16 grads
+    tx = optax.inject_hyperparams(
+        optax.adam, static_args=('mu_dtype',),
+        hyperparam_dtype=jnp.float32)(
         learning_rate=learning_rate, b1=b1, b2=b2, mu_dtype=mu_dtype)
     if freeze_patterns:
         def mask(params):
@@ -128,11 +133,49 @@ def gan_losses(generator, discriminator, seg_loss, g_params, d_params,
     return seg + gdisc, (gen_img, gdisc)
 
 
+def disc_real_fake(discriminator, d_params, x, y, gen_img,
+                   merged=True):
+    """Discriminator outputs on the real and fake pairs.
+
+    ``merged=True`` runs ONE forward on the two pairs stacked along the
+    batch axis instead of two separate forwards (reference
+    trainer.py:96-99). Every discriminator op -- conv, instance norm,
+    activation -- is per-sample, so the stacked forward is numerically
+    identical while halving weight re-reads and op count.
+    Measured on v5e (benchmarks/variants.py): 958 vs 970 img/s on the
+    batch-16 headline step -- the input concat costs slightly more than
+    the halved op count saves, so the default stays False; the merged
+    form is kept for the (cheaper) eval step and small-batch regimes.
+    """
+    if merged:
+        both = discriminator.apply(
+            {'params': d_params},
+            jnp.concatenate([x, x], axis=0),
+            jnp.concatenate([y.astype(gen_img.dtype), gen_img], axis=0))
+        return jnp.split(both, 2, axis=0)
+    disc_real = discriminator.apply({'params': d_params}, x, y)
+    disc_fake = discriminator.apply({'params': d_params}, x, gen_img)
+    return disc_real, disc_fake
+
+
 def make_train_step(generator, discriminator, gen_tx, disc_tx,
                     loss_type='tversky', seg_alpha=200.0,
-                    tversky_beta=0.75, tversky_gamma=0.75):
+                    tversky_beta=0.75, tversky_gamma=0.75,
+                    grad_dtype=None, merged_disc=False):
+    """Build the fused G+D train step.
+
+    ``grad_dtype`` (e.g. bfloat16) casts both gradient trees before the
+    optimizer update, halving gradient HBM traffic; Adam's second-moment
+    accumulation still runs in the optimizer-state dtype. ``merged_disc``
+    batches the discriminator's real+fake forwards (see disc_real_fake).
+    """
     seg_loss = make_seg_loss(loss_type, seg_alpha, tversky_beta,
                              tversky_gamma)
+
+    def cast_grads(grads):
+        if grad_dtype is None:
+            return grads
+        return jax.tree.map(lambda g: g.astype(grad_dtype), grads)
 
     def train_step(state, x, y):
         dropout_rng = jax.random.fold_in(state.rng, state.step)
@@ -144,14 +187,14 @@ def make_train_step(generator, discriminator, gen_tx, disc_tx,
         (g_loss, (gen_img, gdisc)), g_grads = jax.value_and_grad(
             g_loss_fn, has_aux=True)(state.g_params)
         g_updates, g_opt_state = gen_tx.update(
-            g_grads, state.g_opt_state, state.g_params)
+            cast_grads(g_grads), state.g_opt_state, state.g_params)
         g_params = optax.apply_updates(state.g_params, g_updates)
 
         gen_img = jax.lax.stop_gradient(gen_img)
 
         def d_loss_fn(d_params):
-            disc_real = discriminator.apply({'params': d_params}, x, y)
-            disc_fake = discriminator.apply({'params': d_params}, x, gen_img)
+            disc_real, disc_fake = disc_real_fake(
+                discriminator, d_params, x, y, gen_img, merged=merged_disc)
             loss_real = bce_loss(disc_real, jnp.ones_like(disc_real))
             loss_fake = bce_loss(disc_fake, jnp.zeros_like(disc_fake))
             return (loss_fake + loss_real) / 2.0, (loss_real, loss_fake)
@@ -159,7 +202,7 @@ def make_train_step(generator, discriminator, gen_tx, disc_tx,
         (d_loss, (loss_real, loss_fake)), d_grads = jax.value_and_grad(
             d_loss_fn, has_aux=True)(state.d_params)
         d_updates, d_opt_state = disc_tx.update(
-            d_grads, state.d_opt_state, state.d_params)
+            cast_grads(d_grads), state.d_opt_state, state.d_params)
         d_params = optax.apply_updates(state.d_params, d_updates)
 
         losses = {'gen': g_loss, 'gen_loss': g_loss, 'gdisc': gdisc,
@@ -186,9 +229,8 @@ def make_eval_step(generator, discriminator, loss_type='tversky',
         g_loss, (gen_img, gdisc) = gan_losses(
             generator, discriminator, seg_loss, state.g_params,
             state.d_params, x, y, False, None)
-        disc_real = discriminator.apply({'params': state.d_params}, x, y)
-        disc_fake = discriminator.apply({'params': state.d_params}, x,
-                                        gen_img)
+        disc_real, disc_fake = disc_real_fake(
+            discriminator, state.d_params, x, y, gen_img)
         loss_real = bce_loss(disc_real, jnp.ones_like(disc_real))
         loss_fake = bce_loss(disc_fake, jnp.zeros_like(disc_fake))
         d_loss = (loss_fake + loss_real) / 2.0

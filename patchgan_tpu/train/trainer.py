@@ -73,6 +73,8 @@ class Trainer:
     compute_iou = False   # add mean-IoU to validation metrics
     profile_dir = None    # jax.profiler trace of the first train epoch
     save_optimizer_state = False  # also write exact-resume train state
+    checkpoint_format = 'msgpack'  # exact-resume store: 'msgpack' |
+    #                                'orbax' (async, sharding-aware)
     adam_mu_dtype = None  # bf16 halves first-moment HBM traffic
     freeze_generator = ()  # path prefixes to freeze, e.g. ('enc',)
 
@@ -218,12 +220,17 @@ class Trainer:
             # exact resume (extension over the reference, which restarts
             # Adam moments on resume): restore the full TrainState saved
             # by save_optimizer_state
-            import flax.serialization
-            with open(self._pending_training_state, 'rb') as f:
-                self.state = flax.serialization.from_bytes(
-                    self.state, f.read())
+            path = self._pending_training_state
+            if path.endswith('.orbax'):
+                from ..utils import orbax_ckpt
+                self.state = orbax_ckpt.restore(path, self.state)
+            else:
+                import flax.serialization
+                with open(path, 'rb') as f:
+                    self.state = flax.serialization.from_bytes(
+                        self.state, f.read())
             print(f"Restored optimizer state from "
-                  f"{os.path.basename(self._pending_training_state)}")
+                  f"{os.path.basename(path)}")
             self._pending_training_state = None
         self.state = replicate(self.state, self.mesh)
 
@@ -292,6 +299,10 @@ class Trainer:
             if epoch % save_freq == 0:
                 self.save(epoch)
 
+        if self.checkpoint_format == 'orbax' and self.save_optimizer_state:
+            from ..utils import orbax_ckpt
+            orbax_ckpt.wait()  # commit any in-flight async save
+
         self.start = epochs + 1
         return G_loss_ep, D_loss_ep
 
@@ -350,12 +361,21 @@ class Trainer:
         ckpt.save_state_dict(disc_savefile,
                              export_state_dict(d_params, disc_map))
         if self.save_optimizer_state:
-            import flax.serialization
-            path = f'{self.savefolder}training_state_ep_{epoch:03d}' \
-                   '.msgpack'
-            with open(path, 'wb') as f:
-                f.write(flax.serialization.to_bytes(
-                    jax.device_get(self.state)))
+            if self.checkpoint_format == 'orbax':
+                # async: training continues while bytes commit; any
+                # previous in-flight save for this checkpointer is
+                # awaited internally by orbax
+                from ..utils import orbax_ckpt
+                orbax_ckpt.save_async(
+                    orbax_ckpt.orbax_path(self.savefolder, epoch),
+                    self.state)
+            else:
+                import flax.serialization
+                path = f'{self.savefolder}training_state_ep_{epoch:03d}' \
+                       '.msgpack'
+                with open(path, 'wb') as f:
+                    f.write(flax.serialization.to_bytes(
+                        jax.device_get(self.state)))
 
     def load(self, generator_save, discriminator_save):
         print(generator_save, discriminator_save)
@@ -385,8 +405,12 @@ class Trainer:
             self.start = last + 1
             state_path = f'{self.savefolder}training_state_ep_' \
                          f'{last:03d}.msgpack'
-            if os.path.exists(state_path):
+            from ..utils.orbax_ckpt import orbax_path
+            opath = orbax_path(self.savefolder, last)
+            if os.path.isdir(opath):
                 # applied inside train() once fresh optimizers exist
+                self._pending_training_state = opath
+            elif os.path.exists(state_path):
                 self._pending_training_state = state_path
         except Exception as e:
             print(e)

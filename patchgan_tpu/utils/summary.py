@@ -11,6 +11,27 @@ def count_params(params):
                for x in jax.tree_util.tree_leaves(params))
 
 
+def summarize_forward(model, input_shape, depth=4, **call_kwargs):
+    """torchinfo-style per-layer table with input/output shapes.
+
+    The reference prints ``torchinfo.summary(model, input_size, depth=4)``
+    (/root/reference/patchgan/train.py:102-104); here Flax's tabulate
+    produces the equivalent table (module tree to ``depth`` levels,
+    per-layer output shapes and parameter counts) from a shape-only
+    abstract evaluation -- no FLOPs are spent.
+    """
+    import flax.linen as nn
+    import jax.numpy as jnp
+
+    x = jnp.zeros(input_shape, jnp.float32)
+    text = nn.tabulate(
+        model, jax.random.PRNGKey(0), depth=depth,
+        console_kwargs={'width': 100, 'force_terminal': False},
+    )(x, **call_kwargs)
+    print(text)
+    return text
+
+
 def summarize(name, params, input_shape=None):
     lines = [f"{'=' * 60}", f"{name}"]
     if input_shape is not None:

@@ -143,6 +143,94 @@ def test_fused_conv_norm_act_interpret(rng):
         os.environ.pop('PATCHGAN_FUSED_CONV', None)
 
 
+def test_fused_convt_norm_act_interpret(rng):
+    """Decoder-side convT+IN+act fusion: exact vs the unfused reference
+    in interpreter mode, with and without the fused skip concat."""
+    os.environ['PATCHGAN_FUSED_CONVT'] = 'interpret'
+    try:
+        from patchgan_tpu.ops.pallas.convt_norm_act import (
+            _xla_reference, fused_convt_norm_act, fused_convt_supported)
+        x = jnp.asarray(rng.normal(size=(2, 6, 10, 24))
+                        .astype(np.float32))
+        skip = jnp.asarray(rng.normal(size=(2, 6, 10, 16))
+                           .astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(4, 4, 40, 128))
+                        .astype(np.float32) * 0.1)
+        assert fused_convt_supported(x, w, 'relu', skip=skip)
+        got = fused_convt_norm_act(x, w, 1e-5, 'relu', skip)
+        expected = _xla_reference(x, w, 1e-5, 'relu', skip)
+        assert got.shape == (2, 12, 20, 128)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                                   rtol=1e-4, atol=1e-5)
+
+        # backward: identical cotangent into both VJPs (isolates the
+        # backward path from fp rounding of the forward outputs)
+        g = jnp.asarray(rng.normal(size=got.shape).astype(np.float32))
+        _, vjp_f = jax.vjp(
+            lambda a, b, s: fused_convt_norm_act(a, b, 1e-5, 'tanh', s),
+            x, w, skip)
+        _, vjp_r = jax.vjp(
+            lambda a, b, s: _xla_reference(a, b, 1e-5, 'tanh', s),
+            x, w, skip)
+        for a, b in zip(vjp_f(g), vjp_r(g)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+        # no-skip form
+        w1 = jnp.asarray(rng.normal(size=(4, 4, 24, 128))
+                         .astype(np.float32) * 0.1)
+        got1 = fused_convt_norm_act(x, w1, 1e-5, None, None)
+        exp1 = _xla_reference(x, w1, 1e-5, None, None)
+        np.testing.assert_allclose(np.asarray(got1), np.asarray(exp1),
+                                   rtol=1e-4, atol=1e-5)
+    finally:
+        os.environ.pop('PATCHGAN_FUSED_CONVT', None)
+
+
+def test_fused_convt_cout_blocking(rng):
+    """Cout-block gridding (the path that keeps 1024->512 decoder
+    weights under VMEM): split output channels still match."""
+    os.environ['PATCHGAN_FUSED_CONVT'] = 'interpret'
+    try:
+        from patchgan_tpu.ops.pallas.convt_norm_act import (
+            _cout_block, _xla_reference, fused_convt_norm_act)
+        h = w = 8
+        cin, cout = 512, 512
+        cb = _cout_block(h, w, cin, cout, 4)
+        assert 0 < cb < cout and cb % 128 == 0
+        x = jnp.asarray(rng.normal(size=(1, h, w, cin))
+                        .astype(np.float32))
+        wt = jnp.asarray(rng.normal(size=(4, 4, cin, cout))
+                         .astype(np.float32) * 0.05)
+        got = fused_convt_norm_act(x, wt, 1e-5, 'tanh', None)
+        expected = _xla_reference(x, wt, 1e-5, 'tanh', None)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                                   rtol=1e-4, atol=1e-5)
+    finally:
+        os.environ.pop('PATCHGAN_FUSED_CONVT', None)
+
+
+def test_model_level_fused_convt_vs_xla(rng):
+    """Full UNet forward with the fused convT path (interpret) matches
+    the default path."""
+    os.environ['PATCHGAN_FUSED_CONVT'] = 'interpret'
+    try:
+        from patchgan_tpu.models import UNet
+        x = jnp.asarray(rng.uniform(size=(1, 128, 128, 3))
+                        .astype(np.float32))
+        model = UNet(input_nc=3, output_nc=1, nf=16, final_act='sigmoid',
+                     use_pallas=False)
+        params = model.init(jax.random.PRNGKey(0), x)['params']
+        out_fused = model.apply({'params': params}, x)
+        os.environ.pop('PATCHGAN_FUSED_CONVT', None)
+        out_plain = model.apply({'params': params}, x)
+        np.testing.assert_allclose(np.asarray(out_fused),
+                                   np.asarray(out_plain),
+                                   rtol=1e-4, atol=1e-5)
+    finally:
+        os.environ.pop('PATCHGAN_FUSED_CONVT', None)
+
+
 def test_model_level_fused_conv_vs_xla(rng):
     """Full UNet forward with the fused conv+IN+act path (interpret)
     matches the default path."""

@@ -211,6 +211,38 @@ def test_exact_resume_with_optimizer_state(tmp_path, rng):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
 
 
+def test_exact_resume_through_orbax(tmp_path, rng):
+    """checkpoint_format='orbax': the async orbax store round-trips the
+    full TrainState and resume matches an uninterrupted run, same as the
+    msgpack path."""
+    data = synth_loader(rng, 1, 2)
+
+    t_full = make_trainer(tmp_path / 'a')
+    t_full.save_optimizer_state = True
+    t_full.checkpoint_format = 'orbax'
+    t_full.train(data, data, epochs=2, save_freq=1)
+    full_params = jax.device_get(t_full.state.g_params)
+
+    t1 = make_trainer(tmp_path / 'b')
+    t1.save_optimizer_state = True
+    t1.checkpoint_format = 'orbax'
+    t1.train(data, data, epochs=1, save_freq=1)
+    assert (tmp_path / 'b' / 'ckpt' / 'training_state_ep_001.orbax'
+            ).is_dir()
+
+    t2 = make_trainer(tmp_path / 'b', seed=999)
+    t2.save_optimizer_state = True
+    t2.checkpoint_format = 'orbax'
+    t2.load_last_checkpoint()
+    assert str(t2._pending_training_state).endswith('.orbax')
+    t2.train(data, data, epochs=2, save_freq=1)
+    resumed_params = jax.device_get(t2.state.g_params)
+
+    for a, b in zip(jax.tree_util.tree_leaves(full_params),
+                    jax.tree_util.tree_leaves(resumed_params)):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+
+
 def test_freeze_encoder_transfer_finetune(tmp_path, rng):
     """Transfer fine-tune with a frozen encoder (BASELINE.json config 3):
     encoder params must stay bit-identical while the decoder trains."""
