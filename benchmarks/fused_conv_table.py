@@ -141,6 +141,8 @@ def main():
     ap.add_argument('--dtype', default='bfloat16')
     ap.add_argument('--convt', action='store_true',
                     help='measure UpBlock convT shapes instead')
+    ap.add_argument('--only', default=None,
+                    help='comma-separated layer names to measure')
     args = ap.parse_args()
     dtype = jnp.dtype(args.dtype)
 
@@ -149,6 +151,10 @@ def main():
         shapes, ops = CONVT_SHAPES, (xla_convt_op, fused_convt_op)
     else:
         shapes, ops = SHAPES, (xla_op, fused_op)
+
+    if args.only:
+        keep = set(args.only.split(','))
+        shapes = [s for s in shapes if s[0] in keep]
 
     rng = np.random.default_rng(0)
     table = {}
