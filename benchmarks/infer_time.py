@@ -1,0 +1,72 @@
+"""Differential-scan timing of the generator inference forward.
+
+Same methodology as step_time.py: time(scan of L fwds) - time(scan of
+S fwds) over (L-S), cancelling the axon relay's per-dispatch cost, so
+the number is true device throughput for back-to-back batches (what
+the tiled inference engine's fixed-bucket loop dispatches).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--batch', type=int, default=16)
+    ap.add_argument('--size', type=int, default=256)
+    ap.add_argument('--short', type=int, default=5)
+    ap.add_argument('--long', type=int, default=45)
+    ap.add_argument('--reps', type=int, default=4)
+    args = ap.parse_args()
+
+    from patchgan_tpu.models import UNet
+    model = UNet(input_nc=3, output_nc=1, nf=64, final_act='sigmoid',
+                 dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    x = jax.device_put(rng.uniform(size=(args.batch, args.size,
+                                         args.size, 3))
+                       .astype(np.float32).astype(jnp.bfloat16))
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, args.size, args.size, 3)))['params']
+
+    def scan_of(length):
+        @jax.jit
+        def run():
+            def body(c, _):
+                out = model.apply({'params': params}, x + c, train=False)
+                return jnp.mean(out).astype(x.dtype) * 1e-6, None
+            c, _ = jax.lax.scan(body, jnp.zeros((), x.dtype),
+                                length=length)
+            return c
+        return run
+
+    run_s, run_l = scan_of(args.short), scan_of(args.long)
+    float(run_s())
+    g = float(run_l())
+    assert np.isfinite(g)
+    best_s = best_l = float('inf')
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        float(run_s())
+        best_s = min(best_s, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(run_l())
+        best_l = min(best_l, time.perf_counter() - t0)
+    dt = (best_l - best_s) / (args.long - args.short)
+    print(json.dumps({'metric': 'infer_images_per_sec_per_chip',
+                      'batch': args.batch, 'size': args.size,
+                      'fwd_ms': round(dt * 1e3, 3),
+                      'img_s': round(args.batch / dt, 1)}))
+
+
+if __name__ == '__main__':
+    main()

@@ -66,7 +66,11 @@ def main():
         except Exception as e:
             msg = str(e)
             print('FAILED (expected while the XLA MSA bug stands):')
-            print(msg[:2000])
+            i = msg.find('Ran out of memory')
+            if i >= 0:
+                print(msg[i:i + 1200])
+            else:
+                print(msg[:1200])
     finally:
         na._backward = orig
 

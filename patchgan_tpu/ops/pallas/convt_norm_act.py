@@ -45,8 +45,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .norm_act import _act
 
-# VMEM working-set cap for the gate (bytes, rough accounting)
-_MAX_VMEM = 10 * 1024 * 1024
+# VMEM working-set cap for the gate (bytes; the accounting in
+# _cout_block already doubles grid-varying blocks for Mosaic's
+# pipelined prefetch, so 12M of 16M scoped VMEM is a real margin)
+_MAX_VMEM = 12 * 1024 * 1024
 
 # Measured dispatch table (benchmarks/fused_conv_table.py --convt on
 # v5e, differential scan timing, bf16, batch 16):
@@ -62,12 +64,21 @@ def _interpret():
 
 def _cout_block(h, w, cin, cout, itemsize):
     """Largest Cout block (whole, or a 128-multiple divisor) whose
-    working set fits the VMEM cap; 0 if none does."""
+    working set fits the VMEM cap; 0 if none does.
+
+    Every block whose index map varies across the grid is
+    DOUBLE-BUFFERED by Mosaic (pipelined prefetch of the next grid
+    step), so the padded input (varies over samples), the weight slice
+    (varies over Cout blocks -- measured: the un-doubled accounting
+    compiled 100 KiB over the 16 MiB scoped-VMEM limit at the 1024->512
+    decoder shape), and the four quadrant outputs all count twice; only
+    the in-kernel fp32 accumulators are single scratch."""
 
     def vmem(cb):
-        return ((h + 2) * (w + 2) * max(cin, 128) * itemsize  # padded in
-                + 4 * h * w * cb * 4                          # fp32 quads
-                + 16 * cin * cb * itemsize)                   # weights
+        return (2 * (h + 2) * (w + 2) * max(cin, 128) * itemsize  # xp
+                + 2 * 16 * cin * cb * itemsize                    # weights
+                + 2 * 4 * h * w * cb * itemsize                   # outputs
+                + 4 * h * w * cb * 4)                             # fp32 acc
 
     if vmem(cout) <= _MAX_VMEM:
         return cout

@@ -226,7 +226,18 @@ def _backward_pallas(g, x, eps, activation):
     the physical limit and fails compilation (observed across six
     mitigation attempts: input aliasing, batch chunking, optimization
     barriers, declared vmem limits). The interpreter path keeps this
-    kernel tested; revisit when the XLA TPU MSA boundary bug is fixed."""
+    kernel tested; revisit when the XLA TPU MSA boundary bug is fixed.
+
+    Standing reproducer: benchmarks/repro_vmem_bug.py. Re-confirmed on
+    jax 0.9.0 / libtpu 0.0.34 (2026-08): ``Ran out of memory in memory
+    space vmem while allocating on stack for %transpose_jvp___ =
+    bf16[16,128,128,64]{...} custom-call ... Scoped allocation with
+    size 16.02M and limit 16.00M exceeded scoped vmem limit by 16.0K``
+    -- the bf16[16,128,128,64] cotangent (16.02 MiB with tiling
+    padding) is pinned whole on the scoped-VMEM stack regardless of the
+    kernel's own channel-blocked grid, so no kernel-side chunking can
+    help; the fix has to come from XLA's MSA. Run the reproducer each
+    toolchain bump; it prints SUCCESS when the bug is gone."""
     grid, block = _grid_and_block(x)
     return pl.pallas_call(
         functools.partial(_bwd_kernel, eps=eps, activation=activation),
