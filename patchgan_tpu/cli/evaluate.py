@@ -35,6 +35,9 @@ def patchgan_eval(argv=None):
     parser.add_argument('-d', '--device', default='auto')
     parser.add_argument('--dtype', default='auto',
                         choices=['auto', 'float32', 'bfloat16'])
+    parser.add_argument('--metrics', default='iou',
+                        help="Comma list from {iou, dice, bf1} "
+                             "(boundary F1, 2px tolerance)")
     args = parser.parse_args(argv)
 
     platform = select_device(args.device)
@@ -58,6 +61,11 @@ def patchgan_eval(argv=None):
     else:
         datagen = Dataset(dataset_params['dataset_path'], size=size,
                           augmentation=augmentation, **ds_kwargs)
+    if not getattr(datagen, 'masks', True):
+        raise ValueError(
+            "Evaluation needs ground-truth masks: point "
+            "dataset.validation_data at {images, masks} folders (the "
+            "single dataset.dataset_path form found no *.png masks)")
 
     gen_cfg, _ = model_params(config)
     generator = UNet(input_nc=in_channels, output_nc=out_channels,
@@ -78,30 +86,46 @@ def patchgan_eval(argv=None):
             f"Generator checkpoint mismatch: {count}/"
             f"{len(unet_key_map())} weights loaded")
 
-    from ..utils.metrics import iou
+    from ..utils.metrics import boundary_f1, dice, iou
+
+    metric_fns = {'iou': iou, 'dice': dice, 'bf1': boundary_f1}
+    wanted = [m.strip() for m in args.metrics.split(',') if m.strip()]
+    unknown = [m for m in wanted if m not in metric_fns]
+    if unknown or 'iou' not in wanted:
+        # iou is the north-star metric and the output's primary key
+        wanted = ['iou'] + [m for m in wanted if m in metric_fns
+                            and m != 'iou']
+    if unknown:
+        print(f"Ignoring unknown metrics: {', '.join(unknown)}")
 
     @jax.jit
-    def batch_iou(params, x, y):
+    def batch_metrics(params, x, y):
         pred = generator.apply({'params': params}, x, train=False)
-        return iou(y, pred)
+        return {m: metric_fns[m](y, pred) for m in wanted}
 
     loader = DataLoader(datagen, batch_size=args.batch_size,
                         shuffle=False, drop_last=False,
                         num_workers=max(args.dataloader_workers, 1),
                         dtype=dtype)
-    scores, weights = [], []
+    scores, weights = {m: [] for m in wanted}, []
     for x, y in loader:
-        scores.append(float(batch_iou(g_params, x, y)))
+        vals = batch_metrics(g_params, x, y)
+        for m in wanted:
+            scores[m].append(float(vals[m]))
         weights.append(int(np.shape(x)[0]))
-    mean_iou = float(np.average(scores, weights=weights)) if scores \
-        else float('nan')
+    means = {m: (float(np.average(scores[m], weights=weights))
+                 if weights else float('nan')) for m in wanted}
 
     result = {
         'metric': 'mean_iou',
-        'value': round(mean_iou, 5),
+        'value': round(means['iou'], 5),
         'n_images': int(sum(weights)),
         'checkpoint': config['checkpoint_paths']['generator'],
     }
+    long_names = {'dice': 'mean_dice', 'bf1': 'mean_boundary_f1'}
+    for m in wanted:
+        if m != 'iou':
+            result[long_names[m]] = round(means[m], 5)
     print(json.dumps(result))
     return result
 

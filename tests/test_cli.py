@@ -225,3 +225,11 @@ def test_eval_cli(coco_tree, capsys):
     assert 0.0 <= result['value'] <= 1.0
     out = capsys.readouterr().out
     assert '"metric": "mean_iou"' in out
+
+    # extended metrics flag: dice + boundary F1 alongside iou
+    result = patchgan_eval(['-c', eval_path, '-b', '4',
+                            '--dtype', 'float32',
+                            '--metrics', 'dice,bf1'])
+    assert 0.0 <= result['mean_dice'] <= 1.0
+    assert 0.0 <= result['mean_boundary_f1'] <= 1.0
+    assert 0.0 <= result['value'] <= 1.0  # iou always present
