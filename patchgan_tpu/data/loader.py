@@ -64,7 +64,7 @@ class DataLoader:
     def __init__(self, dataset, batch_size=16, shuffle=True,
                  drop_last=True, num_workers=4, prefetch=2, mesh=None,
                  dtype=jnp.float32, seed=0, device_augment=None,
-                 cache=False):
+                 cache=False, process_index=None, process_count=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle_enabled = shuffle
@@ -73,6 +73,28 @@ class DataLoader:
         self.prefetch = prefetch
         self.mesh = mesh
         self.dtype = dtype
+        # per-host input sharding (multi-controller deployments): each
+        # host decodes only its process_local_range slice of every
+        # global batch and the global jax.Array is assembled from the
+        # local shards -- no host materialises the full batch. Enabled
+        # automatically under multi-process jax, or explicitly (incl.
+        # process_count=1, which exercises the same assembly path on a
+        # single controller). The index permutation derives from the
+        # shared seed, so hosts agree without communicating.
+        if process_count is None and jax.process_count() > 1:
+            process_count = jax.process_count()
+            process_index = jax.process_index()
+        self.process_count = process_count
+        self.process_index = process_index or 0
+        if self.process_count:
+            if mesh is None:
+                raise ValueError(
+                    "per-host input sharding needs a mesh to define "
+                    "the global batch layout")
+            if batch_size % self.process_count:
+                raise ValueError(
+                    f"batch {batch_size} must divide across "
+                    f"{self.process_count} hosts")
         self._rng = np.random.default_rng(seed)
         self._key = jax.random.PRNGKey(seed)
         self._epoch = 0
@@ -155,6 +177,25 @@ class DataLoader:
             return shard_batch(batch, self.mesh)
         return jax.device_put(batch)
 
+    def _local_indices(self, indices):
+        """This host's contiguous slice of a global index batch."""
+        if not self.process_count:
+            return indices
+        from ..parallel.multihost import process_local_range
+        lo, hi = process_local_range(
+            len(indices), self.process_index, self.process_count)
+        return indices[lo:hi]
+
+    def _assemble_global(self, arrays, global_batch):
+        """Host-local numpy shards -> global batch-sharded jax.Arrays
+        (each host contributes only the rows its devices own)."""
+        from ..parallel.multihost import batch_sharding_for
+        sharding = batch_sharding_for(self.mesh)
+        return tuple(
+            jax.make_array_from_process_local_data(
+                sharding, a, (global_batch,) + a.shape[1:])
+            for a in arrays)
+
     def __iter__(self):
         self._epoch += 1
         epoch_key = jax.random.fold_in(self._key, self._epoch)
@@ -190,17 +231,34 @@ class DataLoader:
                 for bi, indices in enumerate(batches):
                     if stop.is_set():
                         return
+                    if self.process_count and \
+                            len(indices) % self.process_count:
+                        continue  # un-shardable remainder batch
                     if self.device_augment:
-                        images, labelmaps = self._fetch_raw(pool, indices)
+                        images, labelmaps = self._fetch_raw(
+                            pool, self._local_indices(indices))
+                        if self.process_count:
+                            images, labelmaps = self._assemble_global(
+                                (images, labelmaps), len(indices))
                         key = jax.random.fold_in(epoch_key, bi)
+                        # under per-host sharding the inputs are already
+                        # global batch-sharded arrays; the flip draw is
+                        # over the GLOBAL batch with a host-independent
+                        # key, so augmentation matches the single-host
+                        # run bit for bit
                         x, y = _augment_batch(
                             jnp.asarray(images), jnp.asarray(labelmaps),
                             labels, key, flip=flip, dtype=self.dtype)
-                        if not put(self._to_device((x, y))):
+                        out = (x, y) if self.process_count \
+                            else self._to_device((x, y))
+                        if not put(out):
                             return
                     else:
-                        if not put(self._to_device(
-                                self._fetch_items(pool, indices))):
+                        xy = self._fetch_items(
+                            pool, self._local_indices(indices))
+                        out = self._assemble_global(xy, len(indices)) \
+                            if self.process_count else self._to_device(xy)
+                        if not put(out):
                             return
             except Exception as e:  # surface worker errors to consumer
                 put(e)

@@ -64,6 +64,18 @@ def dcn_batch_sharding(mesh):
     return NamedSharding(mesh, P((DCN_AXIS, DATA_AXIS)))
 
 
+def batch_sharding_for(mesh):
+    """Leading-axis batch sharding for ANY of this package's meshes:
+    shards over the batch-bearing axes ('dcn' and/or 'data') and leaves
+    other axes (e.g. 'model' in the hybrid DP x TP mesh) replicated."""
+    axes = tuple(a for a in mesh.axis_names if a in (DCN_AXIS, DATA_AXIS))
+    if not axes:
+        raise ValueError(
+            f"mesh axes {mesh.axis_names} have no batch axis "
+            f"('{DCN_AXIS}'/'{DATA_AXIS}')")
+    return NamedSharding(mesh, P(axes))
+
+
 def dcn_replicated_sharding(mesh):
     return NamedSharding(mesh, P())
 
