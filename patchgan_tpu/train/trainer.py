@@ -158,6 +158,15 @@ class Trainer:
             return x, y
         x = np.asarray(x)
         y = np.asarray(y)
+        from ..parallel.spatial import SPATIAL_AXIS, shard_batch_spatial
+        if SPATIAL_AXIS in self.mesh.axis_names:
+            # spatial-parallel training: batch over 'data', image
+            # height over 'spatial' (parallel/spatial.py)
+            dp = self.mesh.shape['data']
+            sp = self.mesh.shape[SPATIAL_AXIS]
+            if x.shape[0] % dp == 0 and x.shape[1] % sp == 0:
+                return shard_batch_spatial((x, y), self.mesh)
+            return jax.device_put((x, y))
         n_dev = len(self.mesh.devices.flat)
         if x.shape[0] % n_dev == 0 and n_dev > 1:
             return shard_batch((x, y), self.mesh)

@@ -168,3 +168,68 @@ def test_global_batch_from_local_single_process(setup):
     xs = global_batch_from_local(x[lo:hi], dcn_batch_sharding(mesh))
     assert xs.shape == x.shape
     np.testing.assert_array_equal(np.asarray(xs), x)
+
+
+def test_spatial_mesh_step_matches_single_device(setup):
+    """2x4 (data x spatial) mesh: image HEIGHT sharded over 'spatial'
+    (GSPMD inserts conv halo exchanges and turns instance-norm /
+    loss reductions into collectives), batch over 'data'. The update
+    must reproduce the single-device step (parallel/spatial.py)."""
+    from patchgan_tpu.parallel.spatial import (replicate_spatial,
+                                               shard_batch_spatial,
+                                               spatial_mesh)
+
+    state, step, x, y = setup
+    new_single, losses_single = jax.jit(step)(state, jnp.asarray(x),
+                                              jnp.asarray(y))
+
+    shardy_before = jax.config.jax_use_shardy_partitioner
+    mesh = spatial_mesh(2, 4)
+    # spatial_mesh must fall back to legacy GSPMD: Shardy silently
+    # miscompiles spatially-sharded conv gradients (repro:
+    # benchmarks/repro_shardy_spatial.py)
+    assert not jax.config.jax_use_shardy_partitioner
+    assert mesh.axis_names == ('data', 'spatial')
+    state_s = replicate_spatial(state, mesh)
+    xs, ys = shard_batch_spatial((x, y), mesh)
+    # every chip owns a (4 samples x 32 rows) tile of the global batch
+    assert len(xs.addressable_shards) == 8
+    assert xs.addressable_shards[0].data.shape[:2] == (4, 32)
+    new_sp, losses_sp = jax.jit(step)(state_s, xs, ys)
+
+    for k in losses_single:
+        np.testing.assert_allclose(
+            np.asarray(losses_single[k]), np.asarray(losses_sp[k]),
+            rtol=5e-4, atol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(new_single.g_params),
+                    jax.tree_util.tree_leaves(new_sp.g_params)):
+        a, b = np.asarray(a), np.asarray(b)
+        diff = np.abs(a - b)
+        tight = diff <= 2e-4 + 5e-3 * np.abs(b)
+        assert np.mean(tight) >= 0.999
+        assert np.max(diff) <= 2.5e-3
+    jax.config.update('jax_use_shardy_partitioner', shardy_before)
+
+
+def test_trainer_on_spatial_mesh(tmp_path, setup):
+    """Trainer(mesh=spatial_mesh(...)) shards batches N-over-data and
+    H-over-spatial and trains finite losses end-to-end."""
+    from patchgan_tpu.models import Discriminator, UNet
+    from patchgan_tpu.parallel.spatial import spatial_mesh
+    from patchgan_tpu.train import Trainer
+
+    gen = UNet(input_nc=3, output_nc=1, nf=4, final_act='sigmoid',
+               use_pallas=False)
+    disc = Discriminator(input_nc=4, ndf=4, n_layers=2, use_pallas=False)
+    shardy_before = jax.config.jax_use_shardy_partitioner
+    try:
+        mesh = spatial_mesh(2, 4)
+        trainer = Trainer(gen, disc, str(tmp_path / 'ckpt'), mesh=mesh)
+        rng = np.random.default_rng(0)
+        x = rng.uniform(size=(2, 128, 128, 3)).astype(np.float32)
+        y = (rng.uniform(size=(2, 128, 128, 1)) > 0.5).astype(np.float32)
+        losses = trainer.batch(x, y, train=True)
+        for k, v in losses.items():
+            assert np.isfinite(v), k
+    finally:
+        jax.config.update('jax_use_shardy_partitioner', shardy_before)
