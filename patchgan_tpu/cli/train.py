@@ -35,6 +35,11 @@ def patchgan_train(argv=None):
     parser.add_argument('--dataloader_workers', default=4, type=int,
                         help='Number of decode workers for the input '
                              'pipeline (0 disables threading)')
+    parser.add_argument('--dataloader_worker_type', default='thread',
+                        choices=['thread', 'process'],
+                        help="'thread' (GIL-free decode, supports the "
+                             "RAM cache) or 'process' (sidesteps the "
+                             "GIL on many-core hosts)")
     parser.add_argument('-n', '--n_epochs', required=True, type=int,
                         help='Number of epochs to train the model')
     parser.add_argument('-d', '--device', default='auto',
@@ -86,7 +91,8 @@ def patchgan_train(argv=None):
     loader_kwargs = dict(batch_size=args.batch_size, shuffle=True,
                          num_workers=max(args.dataloader_workers, 1),
                          mesh=mesh, dtype=dtype, seed=args.seed,
-                         cache=cache)
+                         cache=cache,
+                         worker_type=args.dataloader_worker_type)
     train_data = DataLoader(train_datagen, drop_last=True, **loader_kwargs)
     val_data = DataLoader(val_datagen, drop_last=False, **loader_kwargs)
 

@@ -22,7 +22,7 @@ CWD ``io.py`` plugin datasets, SURVEY.md §2 #11).
 
 import queue
 import threading
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from functools import partial
 
 import jax
@@ -30,6 +30,25 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..parallel.mesh import shard_batch
+
+# process-pool workers hold the dataset as a per-process global, set
+# once by the pool initializer (fork makes this cheap on Linux); only
+# decode code runs in workers -- no jax state crosses the boundary
+_WORKER_DS = None
+
+
+def _init_worker(dataset):
+    global _WORKER_DS
+    _WORKER_DS = dataset
+
+
+def _worker_load_raw(index):
+    fn = getattr(_WORKER_DS, 'load_raw_u8', None) or _WORKER_DS.load_raw
+    return fn(int(index))
+
+
+def _worker_getitem(index):
+    return _WORKER_DS[int(index)]
 
 
 @partial(jax.jit, static_argnames=('flip', 'dtype'))
@@ -64,7 +83,8 @@ class DataLoader:
     def __init__(self, dataset, batch_size=16, shuffle=True,
                  drop_last=True, num_workers=4, prefetch=2, mesh=None,
                  dtype=jnp.float32, seed=0, device_augment=None,
-                 cache=False, process_index=None, process_count=None):
+                 cache=False, process_index=None, process_count=None,
+                 worker_type='thread'):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle_enabled = shuffle
@@ -73,6 +93,18 @@ class DataLoader:
         self.prefetch = prefetch
         self.mesh = mesh
         self.dtype = dtype
+        # 'thread' decode scales to ~4 cores per chip (PIL/libjpeg
+        # release the GIL); 'process' sidesteps the GIL entirely for
+        # many-core hosts feeding several chips (torch-DataLoader
+        # analog, reference train.py:78-80)
+        if worker_type not in ('thread', 'process'):
+            raise ValueError(f"worker_type {worker_type!r} not in "
+                             "('thread', 'process')")
+        if worker_type == 'process' and cache:
+            raise ValueError(
+                "the decoded-image RAM cache lives in the parent "
+                "process; use worker_type='thread' with cache")
+        self.worker_type = worker_type
         # per-host input sharding (multi-controller deployments): each
         # host decodes only its process_local_range slice of every
         # global batch and the global jax.Array is assembled from the
@@ -158,15 +190,21 @@ class DataLoader:
         return pair
 
     def _fetch_raw(self, pool, indices):
-        fn = self._load_raw_cached if self._cache is not None \
-            else self._raw_fn()
+        if self.worker_type == 'process':
+            fn = _worker_load_raw
+        elif self._cache is not None:
+            fn = self._load_raw_cached
+        else:
+            fn = self._raw_fn()
         pairs = list(pool.map(fn, indices))
         images = np.stack([p[0] for p in pairs])
         labelmaps = np.stack([p[1] for p in pairs])
         return images, labelmaps
 
     def _fetch_items(self, pool, indices):
-        pairs = list(pool.map(self.dataset.__getitem__, indices))
+        fn = _worker_getitem if self.worker_type == 'process' \
+            else self.dataset.__getitem__
+        pairs = list(pool.map(fn, indices))
         x = np.stack([p[0] for p in pairs])
         y = np.stack([p[1] for p in pairs])
         return x, y
@@ -214,7 +252,18 @@ class DataLoader:
         out_q = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
         stop = threading.Event()
-        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        if self.worker_type == 'process':
+            # forkserver: workers fork from a clean server process, not
+            # from this (jax-threaded) one -- plain fork of a threaded
+            # process can deadlock. The dataset reaches workers by
+            # pickle through the initializer.
+            import multiprocessing
+            pool = ProcessPoolExecutor(
+                max_workers=self.num_workers,
+                mp_context=multiprocessing.get_context('forkserver'),
+                initializer=_init_worker, initargs=(self.dataset,))
+        else:
+            pool = ThreadPoolExecutor(max_workers=self.num_workers)
 
         def put(item):
             # bounded put that aborts if the consumer abandoned iteration

@@ -320,3 +320,28 @@ def test_batch_sharding_for_mesh_variants():
     import numpy as np
     tp = Mesh(np.asarray(jax.devices()).reshape(4, 2), ('data', 'model'))
     assert batch_sharding_for(tp).spec == P(('data',))
+
+
+def test_loader_process_workers_match_threads(coco_dir):
+    """worker_type='process' (GIL-free decode for many-core hosts)
+    must yield the same batches as the thread pool."""
+    ds = COCOStuffDataset(*coco_dir, labels=[1, 2, 3], size=32,
+                          augmentation='randomcrop')
+    a = DataLoader(ds, batch_size=4, shuffle=True, num_workers=2, seed=5)
+    b = DataLoader(ds, batch_size=4, shuffle=True, num_workers=2, seed=5,
+                   worker_type='process')
+    n = 0
+    for (x0, y0), (x1, y1) in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x0), np.asarray(x1))
+        np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+        n += 1
+    assert n == 2
+
+
+def test_loader_process_workers_reject_cache(coco_dir):
+    ds = COCOStuffDataset(*coco_dir, labels=[1], size=32,
+                          augmentation='randomcrop')
+    with pytest.raises(ValueError, match='cache'):
+        DataLoader(ds, worker_type='process', cache=True)
+    with pytest.raises(ValueError, match='worker_type'):
+        DataLoader(ds, worker_type='greenlet')
