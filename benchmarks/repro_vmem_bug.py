@@ -9,6 +9,14 @@ upstream -- re-measure and consider enabling) or the exact compiler
 error for the record. Optionally retries with an explicit
 vmem_limit_bytes compiler param on the backward pallas_call
 (--raise-limit) to test the documented mitigation.
+
+KNOWN WORKAROUND (round 2): the scoped-VMEM budget is a libtpu flag --
+``LIBTPU_INIT_ARGS=--xla_tpu_scoped_vmem_limit_kib=17408`` makes this
+reproducer print SUCCESS today (25600 for the full train step, which
+pins two cotangents). SUCCESS under the DEFAULT budget is the signal
+that the upstream stack-pinning itself is fixed. Full A/B numbers in
+BENCHMARKS.md; the fused backward still loses end-to-end, so the
+shipping default stays XLA.
 """
 
 import argparse

@@ -236,8 +236,19 @@ def _backward_pallas(g, x, eps, activation):
     -- the bf16[16,128,128,64] cotangent (16.02 MiB with tiling
     padding) is pinned whole on the scoped-VMEM stack regardless of the
     kernel's own channel-blocked grid, so no kernel-side chunking can
-    help; the fix has to come from XLA's MSA. Run the reproducer each
-    toolchain bump; it prints SUCCESS when the bug is gone."""
+    help.
+
+    WORKAROUND (round 2): the 16 MiB scoped-VMEM budget is a libtpu
+    FLAG, not silicon. ``LIBTPU_INIT_ARGS=--xla_tpu_scoped_vmem_limit_
+    kib=17408`` compiles this kernel standalone; the full train step
+    pins two such cotangents (24 MiB) and needs 25600. Measured on v5e
+    with the raise: plain-XLA throughput is unchanged at 17 MiB
+    (1051.7 vs 1049.3 img/s) but degrades at large raises (64 MiB
+    -3.5%, 128 MiB -12%), and the full step with fused fwd+bwd
+    (PATCHGAN_PALLAS=on PATCHGAN_PALLAS_BWD=on, 25 MiB) reaches
+    859 img/s vs 1052 XLA -- the custom-call boundary still loses more
+    fusion than the kernel saves, so the default path remains XLA and
+    the backward stays opt-in via PATCHGAN_PALLAS_BWD=on."""
     grid, block = _grid_and_block(x)
     return pl.pallas_call(
         functools.partial(_bwd_kernel, eps=eps, activation=activation),
@@ -267,7 +278,11 @@ def _backward_xla(g, x, eps, activation):
 
 
 def _backward(g, x, eps, activation):
-    if _interpret():
+    if _interpret() or \
+            os.environ.get('PATCHGAN_PALLAS_BWD') == 'on':
+        # on real TPUs the Pallas backward needs the scoped-VMEM limit
+        # raised past the 16 MiB default (see _backward_pallas):
+        #   LIBTPU_INIT_ARGS=--xla_tpu_scoped_vmem_limit_kib=17408
         return _backward_pallas(g, x, eps, activation)
     return _backward_xla(g, x, eps, activation)
 
