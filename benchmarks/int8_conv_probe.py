@@ -32,13 +32,15 @@ SHAPES = [
 
 
 def time_fn(fn, x, w, short, long_, reps):
+    # the conv input must DEPEND on the scan carry, or XLA hoists the
+    # loop-invariant conv out of the scan and the timing is meaningless
     def scan_of(length):
         @jax.jit
         def run():
             def body(c, _):
-                y = fn(x, w)
-                return c + y.ravel()[0].astype(jnp.float32) * 1e-9, None
-            c, _ = lax.scan(body, jnp.zeros((), jnp.float32),
+                y = fn(x + c.astype(x.dtype), w)
+                return (y.ravel()[0] % 2).astype(jnp.int32), None
+            c, _ = lax.scan(body, jnp.zeros((), jnp.int32),
                             length=length)
             return c
         return run
@@ -58,9 +60,11 @@ def time_fn(fn, x, w, short, long_, reps):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('--short', type=int, default=10)
-    ap.add_argument('--long', type=int, default=60)
-    ap.add_argument('--reps', type=int, default=4)
+    # these ops are ~10 us on v5e; the relay's per-dispatch noise needs
+    # multi-ms scans to cancel, hence the long chains
+    ap.add_argument('--short', type=int, default=300)
+    ap.add_argument('--long', type=int, default=1800)
+    ap.add_argument('--reps', type=int, default=3)
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)

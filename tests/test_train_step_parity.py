@@ -197,3 +197,60 @@ def test_weighted_bce_multichannel_step_matches_reference(tmp_path, rng):
         np.testing.assert_allclose(
             our_losses[key], ref_losses[key], rtol=2e-3, atol=2e-4,
             err_msg=f'loss {key} diverged (weighted_bce)')
+
+
+def test_multi_step_loss_drift_stays_bounded(tmp_path, rng):
+    """FOUR sequential G+D updates from identical weights/data: the two
+    frameworks' per-step losses must track each other with bounded
+    drift (fp noise compounds through Adam, so tolerance grows per
+    step). Catches integration errors a single step can hide, e.g.
+    optimizer-state divergence."""
+    TorchUNet, TorchDisc, TorchTrainer = _load_reference_trainer()
+
+    from patchgan_tpu.models import Discriminator, UNet
+    from patchgan_tpu.train import Trainer
+    from patchgan_tpu.utils.transfer import (disc_key_map,
+                                             export_state_dict,
+                                             unet_key_map)
+
+    nf, size, steps = 4, 256, 4
+    gen = UNet(input_nc=3, output_nc=1, nf=nf, activation='relu',
+               final_act='sigmoid', use_pallas=False)
+    disc = Discriminator(input_nc=4, ndf=nf, n_layers=2, use_pallas=False)
+    ours = Trainer(gen, disc, str(tmp_path / 'ck'))
+    ours.loss_type = 'tversky'
+    ours.seg_alpha = 200
+
+    torch.manual_seed(0)
+    tgen = TorchUNet(3, 1, nf=nf, activation='relu', final_act='sigmoid')
+    tdisc = TorchDisc(4, ndf=nf, n_layers=2)
+    ref = TorchTrainer(tgen, tdisc, str(tmp_path / 'tck'), device='cpu')
+    g_params = jax.device_get(ours.state.g_params)
+    d_params = jax.device_get(ours.state.d_params)
+    tgen.load_state_dict({
+        k: torch.tensor(np.ascontiguousarray(v))
+        for k, v in export_state_dict(g_params, unet_key_map()).items()})
+    tdisc.load_state_dict({
+        k: torch.tensor(np.ascontiguousarray(v))
+        for k, v in export_state_dict(d_params,
+                                      disc_key_map(2, False)).items()})
+    ref.loss_type = 'tversky'
+    ref.seg_alpha = 200
+    ref.gen_optimizer = torch.optim.Adam(tgen.parameters(), lr=1e-3,
+                                         betas=(0.9, 0.999))
+    ref.disc_optimizer = torch.optim.Adam(tdisc.parameters(), lr=1e-3,
+                                          betas=(0.9, 0.999))
+
+    for step in range(1, steps + 1):
+        x = rng.uniform(size=(2, size, size, 3)).astype(np.float32)
+        y = (rng.uniform(size=(2, size, size, 1)) > 0.5) \
+            .astype(np.float32)
+        ref_losses = ref.batch(
+            torch.tensor(np.transpose(x, (0, 3, 1, 2))),
+            torch.tensor(np.transpose(y, (0, 3, 1, 2))), train=True)
+        our_losses = ours.batch(x, y, train=True)
+        for key in ['gen', 'disc']:
+            np.testing.assert_allclose(
+                our_losses[key], ref_losses[key],
+                rtol=2e-3 * step, atol=5e-4 * step,
+                err_msg=f'loss {key} drifted at step {step}')
