@@ -32,14 +32,16 @@ SHAPES = [
 
 
 def time_fn(fn, x, w, short, long_, reps):
-    # the conv input must DEPEND on the scan carry, or XLA hoists the
-    # loop-invariant conv out of the scan and the timing is meaningless
+    # the conv input must DEPEND on the scan carry (else XLA hoists the
+    # loop-invariant conv out of the scan) and the carry must consume
+    # ALL output elements (a single-element read lets XLA narrow the
+    # conv to one output window -- measured 50x "too fast" otherwise)
     def scan_of(length):
         @jax.jit
         def run():
             def body(c, _):
                 y = fn(x + c.astype(x.dtype), w)
-                return (y.ravel()[0] % 2).astype(jnp.int32), None
+                return (jnp.sum(y).astype(jnp.int32) % 2), None
             c, _ = lax.scan(body, jnp.zeros((), jnp.int32),
                             length=length)
             return c
