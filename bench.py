@@ -33,11 +33,12 @@ Prints exactly ONE JSON line.
 """
 
 import json
-import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from benchmarks._timing import diff_time_one
 
 BATCH = 16
 SIZE = 256
@@ -79,24 +80,16 @@ def main():
             return gens[-1]
         return run
 
-    run_s, run_l = scan_of(SHORT), scan_of(LONG)
-    # compile + warm; fetching the scalar forces the dependency chain
-    # (through the axon tunnel block_until_ready can return early)
-    g = float(run_s(state))
-    g = float(run_l(state))
-    assert np.isfinite(g), "non-finite generator loss in benchmark"
+    def runner(length):
+        run = scan_of(length)
+        return lambda: run(state)
 
-    best_s = best_l = float('inf')
-    for _ in range(REPS):
-        t0 = time.perf_counter()
-        float(run_s(state))
-        best_s = min(best_s, time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        g = float(run_l(state))
-        best_l = min(best_l, time.perf_counter() - t0)
-    assert np.isfinite(g)
+    def fetch(v):
+        v = float(v)
+        assert np.isfinite(v), "non-finite generator loss in benchmark"
+        return v
 
-    dt = (best_l - best_s) / (LONG - SHORT)
+    dt = diff_time_one(runner, SHORT, LONG, REPS, fetch=fetch)
     img_s = BATCH / dt
     print(json.dumps({
         'metric': 'train_images_per_sec_per_chip',

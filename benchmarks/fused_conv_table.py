@@ -23,7 +23,6 @@ import functools
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
@@ -33,6 +32,7 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
+from benchmarks._timing import diff_time_one  # noqa: E402
 from patchgan_tpu.ops.conv import conv2d  # noqa: E402
 from patchgan_tpu.ops.norm import instance_norm  # noqa: E402
 from patchgan_tpu.ops.pallas.conv_norm_act import (  # noqa: E402
@@ -84,10 +84,9 @@ def fused_convt_op(x, w):
 
 
 def _diff_time(body, x, iters, reps):
-    """Differential scan timing: time(long scan) - time(short scan),
-    divided by the iteration delta. The fixed per-dispatch cost (the
-    axon relay round-trip is ~1 ms, swamping sub-ms ops) cancels
-    exactly; only the true per-op device time remains."""
+    """Differential scan timing via benchmarks/_timing.py: the fixed
+    per-dispatch cost (the axon relay round-trip is ~1 ms, swamping
+    sub-ms ops) cancels exactly; only true per-op device time remains."""
     short, long_ = max(iters // 6, 2), iters
 
     def runner(length):
@@ -98,18 +97,7 @@ def _diff_time(body, x, iters, reps):
             return c
         return run
 
-    run_s, run_l = runner(short), runner(long_)
-    float(run_s())
-    float(run_l())  # compile + warm both
-    best_s = best_l = float('inf')
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        float(run_s())
-        best_s = min(best_s, time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        float(run_l())
-        best_l = min(best_l, time.perf_counter() - t0)
-    return (best_l - best_s) / (long_ - short)
+    return diff_time_one(runner, short, long_, reps)
 
 
 def timed(fn, x, w, iters, reps):

@@ -10,13 +10,14 @@ import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
+
+from benchmarks._timing import diff_time_one  # noqa: E402
 
 
 def main():
@@ -49,19 +50,8 @@ def main():
             return c
         return run
 
-    run_s, run_l = scan_of(args.short), scan_of(args.long)
-    float(run_s())
-    g = float(run_l())
-    assert np.isfinite(g)
-    best_s = best_l = float('inf')
-    for _ in range(args.reps):
-        t0 = time.perf_counter()
-        float(run_s())
-        best_s = min(best_s, time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        float(run_l())
-        best_l = min(best_l, time.perf_counter() - t0)
-    dt = (best_l - best_s) / (args.long - args.short)
+    assert np.isfinite(float(scan_of(args.short)()))
+    dt = diff_time_one(scan_of, args.short, args.long, args.reps)
     print(json.dumps({'metric': 'infer_images_per_sec_per_chip',
                       'batch': args.batch, 'size': args.size,
                       'fwd_ms': round(dt * 1e3, 3),

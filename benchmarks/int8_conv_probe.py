@@ -12,7 +12,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
@@ -20,6 +19,8 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 from jax import lax  # noqa: E402
+
+from benchmarks._timing import diff_time_one  # noqa: E402
 
 DIMS = ('NHWC', 'HWIO', 'NHWC')
 
@@ -32,10 +33,10 @@ SHAPES = [
 
 
 def time_fn(fn, x, w, short, long_, reps):
-    # the conv input must DEPEND on the scan carry (else XLA hoists the
-    # loop-invariant conv out of the scan) and the carry must consume
-    # ALL output elements (a single-element read lets XLA narrow the
-    # conv to one output window -- measured 50x "too fast" otherwise)
+    # carry rules per benchmarks/_timing.py: input depends on the
+    # carry (else XLA hoists the loop-invariant conv) and the carry
+    # consumes ALL output elements (a single-element read lets XLA
+    # narrow the conv to one output window -- measured 50x "too fast")
     def scan_of(length):
         @jax.jit
         def run():
@@ -47,17 +48,7 @@ def time_fn(fn, x, w, short, long_, reps):
             return c
         return run
 
-    rs, rl = scan_of(short), scan_of(long_)
-    float(rs()), float(rl())
-    bs = bl = float('inf')
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        float(rs())
-        bs = min(bs, time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        float(rl())
-        bl = min(bl, time.perf_counter() - t0)
-    return (bl - bs) / (long_ - short)
+    return diff_time_one(scan_of, short, long_, reps)
 
 
 def main():

@@ -18,14 +18,22 @@ it prints SUCCESS, Shardy is fixed and the fallback can be dropped.
 """
 
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
-os.environ.setdefault(
-    'XLA_FLAGS',
-    (os.environ.get('XLA_FLAGS', '') +
-     ' --xla_force_host_platform_device_count=8').strip())
+# force 8 virtual CPU devices: APPEND/REPLACE in XLA_FLAGS (setdefault
+# would be a no-op whenever XLA_FLAGS is already set)
+_flag_re = r'--xla_force_host_platform_device_count=(\d+)'
+_flags = os.environ.get('XLA_FLAGS', '')
+_m = re.search(_flag_re, _flags)
+if _m is None:
+    _flags += ' --xla_force_host_platform_device_count=8'
+elif int(_m.group(1)) < 8:
+    _flags = re.sub(_flag_re,
+                    '--xla_force_host_platform_device_count=8', _flags)
+os.environ['XLA_FLAGS'] = _flags.strip()
 
 import jax  # noqa: E402
 

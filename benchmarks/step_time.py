@@ -13,13 +13,14 @@ import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
+
+from benchmarks._timing import diff_time  # noqa: E402
 
 SIZE = 256
 DEEP = ('enc4', 'enc5', 'enc6', 'dec0', 'dec1', 'dec2')
@@ -82,30 +83,20 @@ def main():
     args = ap.parse_args()
     names = args.variants.split(',')
 
-    runners = {}
+    arms = {}
     for name in names:
         fused_mode, remat, gd = VARIANTS[name]
         state, scan_of = build(fused_mode, remat, gd, args.batch)
         rs, rl = scan_of(args.short), scan_of(args.long)
         g = float(rs(state))
         assert np.isfinite(g), (name, 'short', g)
-        g = float(rl(state))
-        assert np.isfinite(g), (name, 'long', g)
-        runners[name] = (state, rs, rl)
+        arms[name] = (lambda r=rs, s=state: r(s),
+                      lambda r=rl, s=state: r(s))
 
-    best = {n: [float('inf'), float('inf')] for n in names}
-    for _ in range(args.reps):
-        for n in names:  # interleave variants within each rep
-            state, rs, rl = runners[n]
-            t0 = time.perf_counter()
-            float(rs(state))
-            best[n][0] = min(best[n][0], time.perf_counter() - t0)
-            t0 = time.perf_counter()
-            float(rl(state))
-            best[n][1] = min(best[n][1], time.perf_counter() - t0)
-
+    # arms interleave within each rep (benchmarks/_timing.py)
+    times = diff_time(arms, args.short, args.long, args.reps)
     for n in names:
-        dt = (best[n][1] - best[n][0]) / (args.long - args.short)
+        dt = times[n]
         print(json.dumps({'variant': n,
                           'step_ms': round(dt * 1e3, 3),
                           'img_s': round(args.batch / dt, 1)}), flush=True)

@@ -51,8 +51,12 @@ def patchgan_eval(argv=None):
         build_dataset_factory(dataset_params)
 
     # 'randomcrop' == resize-to-size (reference vocabulary, quirk Q3);
-    # evaluation wants deterministic resize, never flips
+    # evaluation wants deterministic resize, NEVER flips -- strip the
+    # '+flip' suffix a shared train config carries so random flips
+    # cannot leak into the reported metrics
     augmentation = dataset_params.get('augmentation', 'randomcrop')
+    if isinstance(augmentation, str) and augmentation.endswith('+flip'):
+        augmentation = augmentation[:-len('+flip')]
     data = dataset_params.get('validation_data',
                               config.get('validation_data'))
     if data is not None:

@@ -117,8 +117,16 @@ class DataLoader:
             process_count = jax.process_count()
             process_index = jax.process_index()
         self.process_count = process_count
-        self.process_index = process_index or 0
+        self.process_index = process_index if process_index is not None \
+            else 0
+        self._warned_remainder = False
         if self.process_count:
+            if self.process_count > 1 and process_index is None:
+                # defaulting to 0 would silently duplicate host 0's
+                # slice on every host
+                raise ValueError(
+                    "process_index is required when process_count > 1 "
+                    "is given explicitly")
             if mesh is None:
                 raise ValueError(
                     "per-host input sharding needs a mesh to define "
@@ -144,12 +152,20 @@ class DataLoader:
         self._cache_budget = cache if isinstance(cache, int) \
             and not isinstance(cache, bool) else None
         self._cache_bytes = 0
+        self._cache_lock = threading.Lock()
+        self._proc_pool = None  # persistent across epochs (see close)
 
     def __len__(self):
         n = len(self.dataset)
-        if self.drop_last:
-            return n // self.batch_size
-        return -(-n // self.batch_size)
+        full = n // self.batch_size
+        rem = n - full * self.batch_size
+        if self.drop_last or rem == 0:
+            return full
+        if self.process_count and rem % self.process_count:
+            # the remainder batch cannot shard across hosts and is
+            # dropped (warned once in _index_batches)
+            return full
+        return full + 1
 
     def shuffle(self):
         # epoch hook kept for Trainer's hasattr(data, 'shuffle') call
@@ -166,7 +182,14 @@ class DataLoader:
                    for i in range(n_full)]
         rem = len(idx) - n_full * self.batch_size
         if rem and not self.drop_last:
-            batches.append(idx[-rem:])
+            if self.process_count and rem % self.process_count:
+                if not self._warned_remainder:
+                    print(f"DataLoader: dropping the {rem}-sample "
+                          f"remainder batch each epoch (not divisible "
+                          f"across {self.process_count} hosts)")
+                    self._warned_remainder = True
+            else:
+                batches.append(idx[-rem:])
         return batches
 
     def _raw_fn(self):
@@ -181,12 +204,15 @@ class DataLoader:
             return hit
         pair = self._raw_fn()(index)
         nbytes = pair[0].nbytes + pair[1].nbytes
-        if self._cache_budget is None or \
-                self._cache_bytes + nbytes <= self._cache_budget:
-            # dict set is atomic under the GIL; a racing duplicate
-            # decode is harmless
-            self._cache[index] = pair
-            self._cache_bytes += nbytes
+        # a racing duplicate DECODE is harmless, but the byte
+        # accounting must be check-and-insert atomic or concurrent
+        # misses double-count against the budget
+        with self._cache_lock:
+            if index not in self._cache and (
+                    self._cache_budget is None or
+                    self._cache_bytes + nbytes <= self._cache_budget):
+                self._cache[index] = pair
+                self._cache_bytes += nbytes
         return pair
 
     def _fetch_raw(self, pool, indices):
@@ -208,6 +234,32 @@ class DataLoader:
         x = np.stack([p[0] for p in pairs])
         y = np.stack([p[1] for p in pairs])
         return x, y
+
+    def _process_pool(self):
+        """Persistent forkserver pool: workers fork from a clean server
+        process, not from this (jax-threaded) one -- plain fork of a
+        threaded process can deadlock. The dataset reaches workers by
+        pickle through the initializer, ONCE per loader lifetime (not
+        per epoch); call close() to release the workers early."""
+        if self._proc_pool is None:
+            import multiprocessing
+            self._proc_pool = ProcessPoolExecutor(
+                max_workers=self.num_workers,
+                mp_context=multiprocessing.get_context('forkserver'),
+                initializer=_init_worker, initargs=(self.dataset,))
+        return self._proc_pool
+
+    def close(self):
+        """Shut down the persistent decode workers (process mode)."""
+        if self._proc_pool is not None:
+            self._proc_pool.shutdown(wait=False)
+            self._proc_pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def _to_device(self, batch):
         if self.mesh is not None and self.mesh.devices.size > 1 and \
@@ -253,15 +305,7 @@ class DataLoader:
         sentinel = object()
         stop = threading.Event()
         if self.worker_type == 'process':
-            # forkserver: workers fork from a clean server process, not
-            # from this (jax-threaded) one -- plain fork of a threaded
-            # process can deadlock. The dataset reaches workers by
-            # pickle through the initializer.
-            import multiprocessing
-            pool = ProcessPoolExecutor(
-                max_workers=self.num_workers,
-                mp_context=multiprocessing.get_context('forkserver'),
-                initializer=_init_worker, initargs=(self.dataset,))
+            pool = self._process_pool()
         else:
             pool = ThreadPoolExecutor(max_workers=self.num_workers)
 
@@ -280,9 +324,9 @@ class DataLoader:
                 for bi, indices in enumerate(batches):
                     if stop.is_set():
                         return
-                    if self.process_count and \
-                            len(indices) % self.process_count:
-                        continue  # un-shardable remainder batch
+                    # note: _index_batches already drops un-shardable
+                    # remainder batches (with a warning), so every
+                    # batch here divides across process_count hosts
                     if self.device_augment:
                         images, labelmaps = self._fetch_raw(
                             pool, self._local_indices(indices))
@@ -326,4 +370,7 @@ class DataLoader:
                 yield item
         finally:
             stop.set()
-            pool.shutdown(wait=False)
+            if pool is not self._proc_pool:
+                # thread pools are per-epoch; the process pool persists
+                # across epochs (its dataset pickle is paid once)
+                pool.shutdown(wait=False)

@@ -47,9 +47,15 @@ def spatial_mesh(dp, sp, devices=None):
     import os
     if sp > 1 and jax.config.jax_use_shardy_partitioner and \
             os.environ.get('PATCHGAN_ALLOW_SHARDY_SPATIAL') != '1':
-        print('spatial_mesh: switching to the legacy GSPMD partitioner '
-              '(Shardy miscompiles spatially-sharded conv gradients; '
-              'see benchmarks/repro_shardy_spatial.py)')
+        import warnings
+        warnings.warn(
+            'spatial_mesh: switching this PROCESS to the legacy GSPMD '
+            'partitioner (Shardy silently miscompiles spatially-sharded '
+            'conv gradients; benchmarks/repro_shardy_spatial.py). All '
+            'subsequent jax compilations use GSPMD -- restore with '
+            "jax.config.update('jax_use_shardy_partitioner', True) or "
+            'opt out via PATCHGAN_ALLOW_SHARDY_SPATIAL=1.',
+            stacklevel=2)
         jax.config.update('jax_use_shardy_partitioner', False)
     grid = np.asarray(devices[:dp * sp]).reshape(dp, sp)
     return Mesh(grid, (DATA_AXIS, SPATIAL_AXIS))

@@ -292,20 +292,14 @@ def test_loader_host_slices_tile_the_global_batch(coco_dir):
 def test_loader_per_host_requires_mesh_and_divisibility(coco_dir):
     ds = COCOStuffDataset(*coco_dir, labels=[1], size=32,
                           augmentation='randomcrop')
-    with pytest.raises(ValueError, match='mesh'):
+    with pytest.raises(ValueError, match='process_index'):
         DataLoader(ds, batch_size=4, process_count=2)
+    with pytest.raises(ValueError, match='mesh'):
+        DataLoader(ds, batch_size=4, process_count=2, process_index=0)
     from patchgan_tpu.parallel.mesh import default_mesh
     with pytest.raises(ValueError, match='divide'):
         DataLoader(ds, batch_size=5, mesh=default_mesh(),
-                   process_count=2)
-
-
-def test_process_local_range_partition():
-    from patchgan_tpu.parallel.multihost import process_local_range
-    spans = [process_local_range(16, i, 4) for i in range(4)]
-    assert spans == [(0, 4), (4, 8), (8, 12), (12, 16)]
-    with pytest.raises(ValueError):
-        process_local_range(10, 0, 4)
+                   process_count=2, process_index=0)
 
 
 def test_batch_sharding_for_mesh_variants():
@@ -345,3 +339,27 @@ def test_loader_process_workers_reject_cache(coco_dir):
         DataLoader(ds, worker_type='process', cache=True)
     with pytest.raises(ValueError, match='worker_type'):
         DataLoader(ds, worker_type='greenlet')
+
+
+def test_loader_per_host_remainder_accounting(coco_dir):
+    """An un-shardable remainder batch is dropped consistently: both
+    __len__ and iteration see the same batch count (no silent desync)."""
+    from patchgan_tpu.parallel.mesh import default_mesh
+    ds = COCOStuffDataset(*coco_dir, labels=[1, 2, 3], size=32,
+                          augmentation='randomcrop')
+    ld = DataLoader(ds, batch_size=6, shuffle=False, drop_last=False,
+                    num_workers=2, mesh=default_mesh(),
+                    process_index=0, process_count=2)
+    ld._assemble_global = lambda arrays, n: arrays
+    # 8 images, batch 6 -> one full batch + a 2-sample remainder that
+    # DOES divide across 2 hosts -> kept
+    assert len(ld) == 2
+    assert sum(1 for _ in ld) == 2
+    ld5 = DataLoader(ds, batch_size=5, shuffle=False, drop_last=False,
+                     num_workers=2, mesh=default_mesh(),
+                     process_index=0, process_count=5)
+    ld5._assemble_global = lambda arrays, n: arrays
+    # 8 images, batch 5 -> 3-sample remainder cannot divide across 5
+    # hosts -> dropped from BOTH len and iteration
+    assert len(ld5) == 1
+    assert sum(1 for _ in ld5) == 1
