@@ -83,7 +83,21 @@ def patchgan_train(argv=None):
 
     import jax
     from ..parallel.mesh import default_mesh
-    mesh = default_mesh()
+    # train_params.spatial_parallelism: N shards image HEIGHT over N
+    # devices (with batch over the remaining n_dev/N) -- for images too
+    # large for one chip's HBM; see parallel/spatial.py
+    sp = config.get('train_params', {}).get('spatial_parallelism')
+    if sp and int(sp) > 1:
+        sp = int(sp)
+        from ..parallel.spatial import spatial_mesh
+        n_dev = len(jax.devices())
+        if n_dev % sp:
+            raise ValueError(
+                f"spatial_parallelism {sp} must divide the "
+                f"{n_dev} available devices")
+        mesh = spatial_mesh(n_dev // sp, sp)
+    else:
+        mesh = default_mesh()
 
     # dataset.cache: true for an unbounded decoded-image RAM cache, or a
     # byte budget (e.g. 2_000_000_000); epochs >= 2 then skip the decoder

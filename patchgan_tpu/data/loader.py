@@ -262,9 +262,18 @@ class DataLoader:
             pass
 
     def _to_device(self, batch):
-        if self.mesh is not None and self.mesh.devices.size > 1 and \
-                batch[0].shape[0] % self.mesh.devices.size == 0:
-            return shard_batch(batch, self.mesh)
+        if self.mesh is not None and self.mesh.devices.size > 1:
+            from ..parallel.spatial import (SPATIAL_AXIS,
+                                            shard_batch_spatial)
+            if SPATIAL_AXIS in self.mesh.axis_names:
+                dp = self.mesh.shape['data']
+                sp = self.mesh.shape[SPATIAL_AXIS]
+                if batch[0].shape[0] % dp == 0 and \
+                        batch[0].shape[1] % sp == 0:
+                    return shard_batch_spatial(batch, self.mesh)
+                return jax.device_put(batch)
+            if batch[0].shape[0] % self.mesh.devices.size == 0:
+                return shard_batch(batch, self.mesh)
         return jax.device_put(batch)
 
     def _local_indices(self, indices):

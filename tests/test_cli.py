@@ -233,3 +233,21 @@ def test_eval_cli(coco_tree, capsys):
     assert 0.0 <= result['mean_dice'] <= 1.0
     assert 0.0 <= result['mean_boundary_f1'] <= 1.0
     assert 0.0 <= result['value'] <= 1.0  # iou always present
+
+
+def test_train_cli_spatial_parallelism(coco_tree):
+    """train_params.spatial_parallelism shards image height over the
+    mesh through the whole CLI path (loader sharding + Trainer)."""
+    import jax
+    shardy_before = jax.config.jax_use_shardy_partitioner
+    try:
+        cfg = nested_config(coco_tree)
+        cfg['train_params']['spatial_parallelism'] = 4
+        cfg['checkpoint_path'] = str(coco_tree / 'ckpt_sp')
+        cfg_path = write_config(coco_tree, cfg, 'sp.yaml')
+        patchgan_train(['-c', cfg_path, '-n', '1', '-b', '4',
+                        '--dtype', 'float32'])
+        assert os.path.exists(
+            os.path.join(cfg['checkpoint_path'], 'generator_ep_001.npz'))
+    finally:
+        jax.config.update('jax_use_shardy_partitioner', shardy_before)
