@@ -166,6 +166,9 @@ def patchgan_train(argv=None):
     trainer.loss_type = train_params['loss_type']
     trainer.seg_alpha = train_params['seg_alpha']
     trainer.compute_iou = train_params.get('compute_iou', False)
+    # preemption safety: rolling full-train-state checkpoint every N
+    # train batches; resume continues mid-epoch bit-identically
+    trainer.save_every_steps = train_params.get('save_every_steps')
     if args.profile_dir:
         trainer.profile_dir = args.profile_dir
 

@@ -173,6 +173,19 @@ class DataLoader:
         # __iter__ per epoch.
         pass
 
+    def fast_forward(self, n_epochs):
+        """Advance the shuffle RNG and epoch counter as if ``n_epochs``
+        epochs had been iterated, WITHOUT decoding anything. After
+        ``fast_forward(k)``, the next iteration produces exactly the
+        batch order (and on-device flip draws) that epoch k+1 of an
+        uninterrupted run would have seen -- the hook preemption-safe
+        resume uses to continue bit-identically (train/trainer.py)."""
+        for _ in range(int(n_epochs)):
+            self._epoch += 1
+            if self.shuffle_enabled:
+                # consume the RNG identically to _index_batches
+                self._rng.shuffle(np.arange(len(self.dataset)))
+
     def _index_batches(self):
         idx = np.arange(len(self.dataset))
         if self.shuffle_enabled:

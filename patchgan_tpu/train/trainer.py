@@ -75,6 +75,12 @@ class Trainer:
     save_optimizer_state = False  # also write exact-resume train state
     checkpoint_format = 'msgpack'  # exact-resume store: 'msgpack' |
     #                                'orbax' (async, sharding-aware)
+    save_every_steps = None  # preemption safety: every N train batches
+    #                          write a ROLLING full-train-state file +
+    #                          progress metadata; load_last_checkpoint
+    #                          resumes mid-epoch bit-identically (the
+    #                          loader order is replayed via
+    #                          DataLoader.fast_forward + batch skipping)
     adam_mu_dtype = None  # bf16 halves first-moment HBM traffic
     freeze_generator = ()  # path prefixes to freeze, e.g. ('enc',)
 
@@ -98,6 +104,8 @@ class Trainer:
         self.state = None
         self._step_cache = {}
         self._pending_training_state = None  # exact-resume file
+        self._resume_skip_batches = 0  # mid-epoch resume (see
+        #                                save_every_steps)
 
         # parameter init is shape-independent (all-conv nets): use a tiny
         # dummy spatial extent. weights_init parity: xavier-uniform conv
@@ -243,6 +251,16 @@ class Trainer:
             self._pending_training_state = None
         self.state = replicate(self.state, self.mesh)
 
+        if self._resume_skip_batches:
+            print(f"Resuming mid-epoch: skipping the "
+                  f"{self._resume_skip_batches} already-trained batches "
+                  f"of epoch {self.start}")
+            if hasattr(train_data, 'fast_forward'):
+                # replay the interrupted run's shuffle order exactly so
+                # the continuation is bit-identical to an uninterrupted
+                # run (DataLoader.fast_forward)
+                train_data.fast_forward(self.start - 1)
+
         if reduce_on_plateau:
             gen_sched = ReduceLROnPlateau(gen_lr)
             dsc_sched = ReduceLROnPlateau(dsc_lr)
@@ -278,7 +296,8 @@ class Trainer:
             with maybe_trace(self.profile_dir,
                              enabled=(epoch == self.start)):
                 loss_mean, n_images, elapsed = self._run_epoch(
-                    train_data, train=True, desc='Training: ')
+                    train_data, train=True, desc='Training: ',
+                    epoch=epoch)
             D_loss_ep.append(loss_mean['disc'])
             G_loss_ep.append(loss_mean['gen'])
             if elapsed > 0:
@@ -315,7 +334,7 @@ class Trainer:
         self.start = epochs + 1
         return G_loss_ep, D_loss_ep
 
-    def _run_epoch(self, data, train, desc):
+    def _run_epoch(self, data, train, desc, epoch=None):
         if hasattr(data, 'shuffle'):
             data.shuffle()
         step = self._get_step(train)
@@ -324,12 +343,24 @@ class Trainer:
         count = 0
         pending = None  # one-step delay: don't stall the device pipeline
         n_images = 0
+        skip = self._resume_skip_batches if train else 0
+        self._resume_skip_batches = 0
+        batches_done = skip
         t0 = time.perf_counter()
         for input_img, target_mask in pbar:
+            if skip > 0:
+                # mid-epoch resume: these batches were trained before
+                # the interruption (state already reflects them)
+                skip -= 1
+                continue
             n_images += np.shape(input_img)[0]
             x, y = self._place_batch(input_img, target_mask)
             if train:
                 self.state, losses = step(self.state, x, y)
+                batches_done += 1
+                if self.save_every_steps and \
+                        batches_done % self.save_every_steps == 0:
+                    self._save_step_state(epoch, batches_done)
             else:
                 losses = step(self.state, x, y)
             if pending is not None:
@@ -386,6 +417,60 @@ class Trainer:
                     f.write(flax.serialization.to_bytes(
                         jax.device_get(self.state)))
 
+    def _save_step_state(self, epoch, batches_done):
+        """Rolling mid-epoch checkpoint (preemption safety): the full
+        TrainState plus progress metadata, overwritten each time so disk
+        stays bounded. Written atomically (tmp + rename); the metadata
+        is written LAST so a crash mid-save leaves the previous
+        consistent pair or a state file without metadata -- never a
+        metadata file pointing at a torn state."""
+        import json
+
+        if self.checkpoint_format == 'orbax':
+            from ..utils import orbax_ckpt
+            state_path = os.path.join(self.savefolder, 'step_state.orbax')
+            orbax_ckpt.save_async(state_path, self.state)
+            orbax_ckpt.wait()  # metadata must not precede the bytes
+        else:
+            import flax.serialization
+            state_path = os.path.join(self.savefolder,
+                                      'training_state_step.msgpack')
+            tmp = state_path + '.tmp'
+            with open(tmp, 'wb') as f:
+                f.write(flax.serialization.to_bytes(
+                    jax.device_get(self.state)))
+            os.replace(tmp, state_path)
+        meta_path = os.path.join(self.savefolder, 'step_state.json')
+        tmp = meta_path + '.tmp'
+        with open(tmp, 'w') as f:
+            json.dump({'epoch': int(epoch),
+                       'batches_done': int(batches_done),
+                       'state': os.path.basename(state_path)}, f)
+        os.replace(tmp, meta_path)
+
+    def _check_step_state(self):
+        """Pick up a mid-epoch checkpoint if it is NEWER than the last
+        epoch-level checkpoint (i.e. progress into an unsaved epoch)."""
+        import json
+
+        meta_path = os.path.join(self.savefolder, 'step_state.json')
+        if not os.path.exists(meta_path):
+            return
+        try:
+            with open(meta_path) as f:
+                meta = json.load(f)
+            state_path = os.path.join(self.savefolder, meta['state'])
+            if meta['epoch'] < self.start or not os.path.exists(
+                    state_path):
+                return
+            self._pending_training_state = state_path
+            self.start = int(meta['epoch'])
+            self._resume_skip_batches = int(meta['batches_done'])
+            print(f"Found mid-epoch checkpoint: epoch {self.start}, "
+                  f"{self._resume_skip_batches} batches done")
+        except Exception as e:
+            print(f"Ignoring unreadable step checkpoint: {e}")
+
     def load(self, generator_save, discriminator_save):
         print(generator_save, discriminator_save)
         gen_sd = ckpt.load_state_dict(generator_save)
@@ -424,6 +509,10 @@ class Trainer:
         except Exception as e:
             print(e)
             print("Checkpoints not loaded")
+        # a mid-epoch (preemption) checkpoint supersedes epoch files
+        # when it is further along; it carries the FULL train state so
+        # it also works when no epoch checkpoint exists yet
+        self._check_step_state()
 
     # ------------------------------------------------------------------
     # transfer learning (reference train.py:112-116)

@@ -265,3 +265,63 @@ def test_freeze_encoder_transfer_finetune(tmp_path, rng):
                            before[f'dec{i}']['kernel'])
         for i in range(7))
     assert changed, "decoder did not train"
+
+
+class PreemptibleLoader:
+    """List-backed loader that simulates a preemption by raising at the
+    Nth batch ever served."""
+
+    def __init__(self, batches, fail_at=None):
+        self.batches = batches
+        self.fail_at = fail_at
+        self.served = 0
+
+    def __iter__(self):
+        for b in self.batches:
+            self.served += 1
+            if self.fail_at is not None and self.served == self.fail_at:
+                raise KeyboardInterrupt('preempted')
+            yield b
+
+
+def test_step_checkpoint_writes_rolling_state(tmp_path, rng):
+    trainer = make_trainer(tmp_path)
+    trainer.save_every_steps = 2
+    data = synth_loader(rng, 4, 2)
+    trainer.train(data, data[:1], epochs=1, save_freq=10)
+    folder = trainer.savefolder
+    assert os.path.exists(f'{folder}training_state_step.msgpack')
+    import json
+    meta = json.load(open(f'{folder}step_state.json'))
+    assert meta['epoch'] == 1 and meta['batches_done'] == 4
+
+
+def test_preemption_resume_matches_uninterrupted(tmp_path, rng):
+    """Kill training mid-epoch; resuming from the rolling step
+    checkpoint must reproduce the uninterrupted run's final parameters
+    exactly (same data order, optimizer state, rng)."""
+    batches = synth_loader(rng, 4, 2)
+    val = batches[:1]
+
+    ref = make_trainer(tmp_path / 'a')
+    ref.train(list(batches), val, epochs=2, save_freq=10)
+    ref_params = jax.device_get(ref.state.g_params)
+
+    # interrupted run: step-checkpoint every batch, preempt at the 4th
+    pre = make_trainer(tmp_path / 'b')
+    pre.save_every_steps = 1
+    with pytest.raises(KeyboardInterrupt):
+        pre.train(PreemptibleLoader(batches, fail_at=4), val, epochs=2,
+                  save_freq=10)
+
+    # fresh process analog: new trainer, resume, finish the run
+    cont = make_trainer(tmp_path / 'b', seed=999)
+    cont.load_last_checkpoint()
+    assert cont.start == 1
+    assert cont._resume_skip_batches == 3
+    cont.train(list(batches), val, epochs=2, save_freq=10)
+    cont_params = jax.device_get(cont.state.g_params)
+
+    for a, b in zip(jax.tree_util.tree_leaves(ref_params),
+                    jax.tree_util.tree_leaves(cont_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
