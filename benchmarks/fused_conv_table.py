@@ -19,7 +19,6 @@ baking into ops/pallas/dispatch_table.py.
 """
 
 import argparse
-import functools
 import json
 import os
 import sys

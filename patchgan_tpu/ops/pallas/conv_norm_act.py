@@ -42,7 +42,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .norm_act import _act, _act_grad  # shared activation table
+from .norm_act import _act  # shared activation table
 
 # VMEM working-set cap for the gate (bytes, rough accounting)
 _MAX_VMEM = 10 * 1024 * 1024
