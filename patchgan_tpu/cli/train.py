@@ -165,6 +165,8 @@ def patchgan_train(argv=None):
     train_params = config['train_params']
     trainer.loss_type = train_params['loss_type']
     trainer.seg_alpha = train_params['seg_alpha']
+    trainer.bce_weighting = train_params.get('bce_weighting',
+                                             'complement')
     trainer.compute_iou = train_params.get('compute_iou', False)
     # preemption safety: rolling full-train-state checkpoint every N
     # train batches; resume continues mid-epoch bit-identically

@@ -96,20 +96,39 @@ def init_train_state(generator, discriminator, input_shape, out_channels,
 
 
 def make_seg_loss(loss_type, seg_alpha, tversky_beta=0.75,
-                  tversky_gamma=0.75):
-    """Segmentation loss dispatch (reference trainer.py:71-82)."""
+                  tversky_gamma=0.75, bce_weighting='complement'):
+    """Segmentation loss dispatch (reference trainer.py:71-82).
+
+    ``bce_weighting`` selects the per-channel class weights of
+    ``weighted_bce`` (all computed per batch, NHWC keepdim over (1,2)
+    == the reference's NCHW keepdim over (2,3)):
+
+    - 'complement' (reference trainer.py:76-78): ``1 - share_c`` where
+      share_c is class c's fraction of the batch's positive pixels;
+    - 'inverse': ``(1/share_c) / sum(1/share)`` -- inverse-frequency,
+      emphasising rare classes much harder than the complement form;
+    - 'none': uniform weights (plain BCE scaled by seg_alpha).
+    """
     if loss_type == 'tversky':
         def seg(gen_img, y):
             return fc_tversky(y, gen_img, beta=tversky_beta,
                               gamma=tversky_gamma) * seg_alpha
     elif loss_type == 'weighted_bce':
+        if bce_weighting not in ('complement', 'inverse', 'none'):
+            raise ValueError(
+                f"bce_weighting {bce_weighting!r} not in "
+                "('complement', 'inverse', 'none')")
+
         def seg(gen_img, y):
-            if gen_img.shape[-1] > 1:
-                # per-channel weights (trainer.py:76-78); NHWC keepdim over
-                # (1,2) == the reference's NCHW keepdim over (2,3)
+            if gen_img.shape[-1] > 1 and bce_weighting != 'none':
                 yf = y.astype(jnp.float32)
-                weight = 1.0 - (jnp.sum(yf, axis=(1, 2), keepdims=True)
-                                / jnp.sum(yf))
+                share = (jnp.sum(yf, axis=(1, 2), keepdims=True)
+                         / jnp.sum(yf))
+                if bce_weighting == 'inverse':
+                    inv = 1.0 / jnp.maximum(share, 1e-6)
+                    weight = inv / jnp.sum(inv, axis=-1, keepdims=True)
+                else:  # 'complement' (reference semantics)
+                    weight = 1.0 - share
             else:
                 weight = jnp.ones_like(y, dtype=jnp.float32)
             return weighted_bce_loss(gen_img, y, weight) * seg_alpha
@@ -161,7 +180,8 @@ def disc_real_fake(discriminator, d_params, x, y, gen_img,
 def make_train_step(generator, discriminator, gen_tx, disc_tx,
                     loss_type='tversky', seg_alpha=200.0,
                     tversky_beta=0.75, tversky_gamma=0.75,
-                    grad_dtype=None, merged_disc=False):
+                    grad_dtype=None, merged_disc=False,
+                    bce_weighting='complement'):
     """Build the fused G+D train step.
 
     ``grad_dtype`` (e.g. bfloat16) casts both gradient trees before the
@@ -170,7 +190,7 @@ def make_train_step(generator, discriminator, gen_tx, disc_tx,
     batches the discriminator's real+fake forwards (see disc_real_fake).
     """
     seg_loss = make_seg_loss(loss_type, seg_alpha, tversky_beta,
-                             tversky_gamma)
+                             tversky_gamma, bce_weighting)
 
     def cast_grads(grads):
         if grad_dtype is None:
@@ -216,14 +236,14 @@ def make_train_step(generator, discriminator, gen_tx, disc_tx,
 
 def make_eval_step(generator, discriminator, loss_type='tversky',
                    seg_alpha=200.0, tversky_beta=0.75, tversky_gamma=0.75,
-                   compute_iou=False):
+                   compute_iou=False, bce_weighting='complement'):
     """Validation pass: same losses, no parameter updates, dropout off
     (the reference switches to model.eval() for validation,
     trainer.py:239-250). Optionally also reports mean IoU of the
     generated masks (a metric the reference lacks; BASELINE.json asks
     for IoU parity)."""
     seg_loss = make_seg_loss(loss_type, seg_alpha, tversky_beta,
-                             tversky_gamma)
+                             tversky_gamma, bce_weighting)
 
     def eval_step(state, x, y):
         g_loss, (gen_img, gdisc) = gan_losses(

@@ -68,6 +68,8 @@ class Trainer:
     loss_type = 'tversky'
     tversky_beta = 0.75
     tversky_gamma = 0.75
+    bce_weighting = 'complement'  # weighted_bce class weights:
+    #   'complement' (reference) | 'inverse' (inverse-frequency) | 'none'
 
     neptune_config = None
     compute_iou = False   # add mean-IoU to validation metrics
@@ -135,7 +137,7 @@ class Trainer:
     def _loss_key(self):
         return (self.loss_type, float(self.seg_alpha),
                 float(self.tversky_beta), float(self.tversky_gamma),
-                bool(self.compute_iou))
+                bool(self.compute_iou), self.bce_weighting)
 
     def _get_step(self, train):
         key = (train, self._loss_key())
@@ -146,7 +148,8 @@ class Trainer:
                     self._disc_tx, loss_type=self.loss_type,
                     seg_alpha=self.seg_alpha,
                     tversky_beta=self.tversky_beta,
-                    tversky_gamma=self.tversky_gamma)
+                    tversky_gamma=self.tversky_gamma,
+                    bce_weighting=self.bce_weighting)
                 jitted = jax.jit(fn, donate_argnums=(0,))
             else:
                 fn = make_eval_step(
@@ -154,7 +157,8 @@ class Trainer:
                     loss_type=self.loss_type, seg_alpha=self.seg_alpha,
                     tversky_beta=self.tversky_beta,
                     tversky_gamma=self.tversky_gamma,
-                    compute_iou=self.compute_iou)
+                    compute_iou=self.compute_iou,
+                    bce_weighting=self.bce_weighting)
                 jitted = jax.jit(fn)
             self._step_cache[key] = jitted
         return self._step_cache[key]
