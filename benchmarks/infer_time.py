@@ -39,16 +39,20 @@ def main():
     params = model.init(jax.random.PRNGKey(0),
                         jnp.zeros((1, args.size, args.size, 3)))['params']
 
+    # params/x must be jit ARGUMENTS: captured device arrays become
+    # program constants, and serialising 25M-param constants through
+    # the remote-compile path blows compile time up ~50x (measured
+    # 253 s vs a few seconds for the same scan with arguments)
     def scan_of(length):
         @jax.jit
-        def run():
+        def run(params, x):
             def body(c, _):
                 out = model.apply({'params': params}, x + c, train=False)
                 return jnp.mean(out).astype(x.dtype) * 1e-6, None
             c, _ = jax.lax.scan(body, jnp.zeros((), x.dtype),
                                 length=length)
             return c
-        return run
+        return lambda: run(params, x)
 
     assert np.isfinite(float(scan_of(args.short)()))
     dt = diff_time_one(scan_of, args.short, args.long, args.reps)
