@@ -70,9 +70,12 @@ def main():
     y = jax.device_put((rng.uniform(size=(BATCH, SIZE, SIZE, 1)) > 0.5)
                        .astype(np.float32))
 
+    # x/y are jit ARGUMENTS: captured device arrays would be baked into
+    # the program as constants, which the remote-compile path serialises
+    # and constant-folds at a large compile-time cost
     def scan_of(length):
         @jax.jit
-        def run(st):
+        def run(st, x, y):
             def body(s, _):
                 s, losses = step(s, x, y)
                 return s, losses['gen']
@@ -82,7 +85,7 @@ def main():
 
     def runner(length):
         run = scan_of(length)
-        return lambda: run(state)
+        return lambda: run(state, x, y)
 
     def fetch(v):
         v = float(v)
