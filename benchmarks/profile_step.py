@@ -1,0 +1,159 @@
+"""Capture a jax.profiler trace of the train step and print the
+per-op device-time breakdown.
+
+Parses the raw ``*.xplane.pb`` with tensorflow's bundled xplane proto
+(no tensorboard_plugin_profile needed): sums event durations per line
+of every device plane and prints the top ops plus a category rollup
+(convolution / norm+elementwise / copy / optimizer / other), i.e. the
+ground truth behind BENCHMARKS.md's MFU accounting.
+"""
+
+import argparse
+import collections
+import glob
+import json
+import os
+import re
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def capture(steps, batch, size):
+    from patchgan_tpu.models import Discriminator, UNet
+    from patchgan_tpu.train.steps import (init_train_state, make_optimizer,
+                                          make_train_step)
+
+    gen = UNet(input_nc=3, output_nc=1, nf=64, final_act='sigmoid',
+               dtype=jnp.bfloat16)
+    disc = Discriminator(input_nc=4, ndf=64, n_layers=3,
+                         dtype=jnp.bfloat16)
+    gen_tx = make_optimizer(1e-3, mu_dtype=jnp.bfloat16)
+    disc_tx = make_optimizer(1e-3, mu_dtype=jnp.bfloat16)
+    state = init_train_state(gen, disc, (1, size, size, 3), 1, gen_tx,
+                             disc_tx, seed=0)
+    step = jax.jit(make_train_step(gen, disc, gen_tx, disc_tx),
+                   donate_argnums=(0,))
+
+    rng = np.random.default_rng(0)
+    x = jax.device_put(rng.uniform(size=(batch, size, size, 3))
+                       .astype(np.float32))
+    y = jax.device_put((rng.uniform(size=(batch, size, size, 1)) > 0.5)
+                       .astype(np.float32))
+
+    state, losses = step(state, x, y)  # compile + warm
+    jax.block_until_ready(losses['gen'])
+
+    outdir = tempfile.mkdtemp(prefix='patchgan_profile_')
+    with jax.profiler.trace(outdir):
+        for _ in range(steps):
+            state, losses = step(state, x, y)
+        jax.block_until_ready(losses['gen'])
+    return outdir
+
+
+CATEGORIES = [
+    ('convolution', re.compile(r'conv|dot|%fusion.*conv', re.I)),
+    ('copy/transpose', re.compile(r'copy|transpose|bitcast', re.I)),
+    ('all-reduce', re.compile(r'all-reduce|reduce-scatter|all-gather',
+                              re.I)),
+    ('fusion (norm/elementwise/opt)', re.compile(r'fusion|reduce', re.I)),
+]
+
+
+def categorize(name):
+    for label, pat in CATEGORIES:
+        if pat.search(name):
+            return label
+    return 'other'
+
+
+def analyze(outdir, steps, top):
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    paths = glob.glob(os.path.join(outdir, '**', '*.xplane.pb'),
+                      recursive=True)
+    if not paths:
+        print(json.dumps({'error': f'no xplane under {outdir}'}))
+        return
+    # events NEST across a plane's lines (a step marker spans the ops
+    # inside it; async copy-start windows overlap compute), so sums are
+    # only meaningful PER LINE -- report each device line separately
+    # and break down ops on the busiest op line
+    lines = {}
+    for path in paths:
+        space = xplane_pb2.XSpace()
+        with open(path, 'rb') as f:
+            space.ParseFromString(f.read())
+        for plane in space.planes:
+            if 'TPU' not in plane.name and 'device' not in \
+                    plane.name.lower():
+                continue
+            emeta = plane.event_metadata
+            for line in plane.lines:
+                key = f'{plane.name}/{line.name}'
+                per_op = lines.setdefault(key, collections.Counter())
+                for ev in line.events:
+                    per_op[emeta[ev.metadata_id].name] += ev.duration_ps
+    if not lines:
+        names = [p.name for path in paths[:1]
+                 for p in _planes(xplane_pb2, path)]
+        print(json.dumps({'error': 'no device plane events',
+                          'planes': names}))
+        return
+    for key, per_op in sorted(lines.items()):
+        print(json.dumps({'line': key,
+                          'ms_per_step': round(
+                              sum(per_op.values()) / 1e9 / steps, 3),
+                          'events': sum(1 for _ in per_op)}))
+    # the exclusive execution timeline is the 'XLA Ops' line; 'Async
+    # XLA Ops' records copy WINDOWS that overlap compute (their sum can
+    # exceed wall time and only indicates overlap pressure)
+    exec_lines = [c for k, c in lines.items()
+                  if k.endswith('/XLA Ops')]
+    busiest = exec_lines[0] if exec_lines else max(
+        lines.values(), key=lambda c: sum(c.values()))
+    total = sum(busiest.values())
+    cats = collections.Counter()
+    for name, ps in busiest.items():
+        cats[categorize(name)] += ps
+    for label, ps in cats.most_common():
+        print(json.dumps({'category': label,
+                          'ms_per_step': round(ps / 1e9 / steps, 3),
+                          'share': round(ps / total, 3)}))
+    for name, ps in busiest.most_common(top):
+        print(json.dumps({'op': name[:100],
+                          'us_per_step': round(ps / 1e6 / steps, 1)}))
+
+
+def _planes(xplane_pb2, path):
+    space = xplane_pb2.XSpace()
+    with open(path, 'rb') as f:
+        space.ParseFromString(f.read())
+    return space.planes
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--steps', type=int, default=10)
+    ap.add_argument('--batch', type=int, default=16)
+    ap.add_argument('--size', type=int, default=256)
+    ap.add_argument('--top', type=int, default=20)
+    ap.add_argument('--analyze-only', default=None,
+                    help='parse an existing trace dir instead')
+    args = ap.parse_args()
+    if args.analyze_only:
+        analyze(args.analyze_only, args.steps, args.top)
+        return
+    outdir = capture(args.steps, args.batch, args.size)
+    print('trace dir:', outdir)
+    analyze(outdir, args.steps, args.top)
+
+
+if __name__ == '__main__':
+    main()
