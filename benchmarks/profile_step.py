@@ -58,8 +58,11 @@ def capture(steps, batch, size):
 
 
 CATEGORIES = [
-    ('convolution', re.compile(r'conv|dot|%fusion.*conv', re.I)),
-    ('copy/transpose', re.compile(r'copy|transpose|bitcast', re.I)),
+    # 'convolution' must NOT match 'convert' (dtype casts) -- that
+    # would inflate the conv share this tool exists to isolate
+    ('convolution', re.compile(r'convolution|\bdot\b', re.I)),
+    ('copy/transpose', re.compile(r'copy|transpose|bitcast|convert',
+                                  re.I)),
     ('all-reduce', re.compile(r'all-reduce|reduce-scatter|all-gather',
                               re.I)),
     ('fusion (norm/elementwise/opt)', re.compile(r'fusion|reduce', re.I)),
@@ -86,6 +89,7 @@ def analyze(outdir, steps, top):
     # only meaningful PER LINE -- report each device line separately
     # and break down ops on the busiest op line
     lines = {}
+    n_events = collections.Counter()
     for path in paths:
         space = xplane_pb2.XSpace()
         with open(path, 'rb') as f:
@@ -100,17 +104,23 @@ def analyze(outdir, steps, top):
                 per_op = lines.setdefault(key, collections.Counter())
                 for ev in line.events:
                     per_op[emeta[ev.metadata_id].name] += ev.duration_ps
+                    n_events[key] += 1
     if not lines:
         names = [p.name for path in paths[:1]
                  for p in _planes(xplane_pb2, path)]
         print(json.dumps({'error': 'no device plane events',
                           'planes': names}))
         return
+    # trust the trace's own step markers over the --steps flag (an
+    # --analyze-only caller may not know the captured count)
+    traced = [n_events[k] for k in lines if k.endswith('/Steps')]
+    if traced and traced[0]:
+        steps = traced[0]
     for key, per_op in sorted(lines.items()):
         print(json.dumps({'line': key,
                           'ms_per_step': round(
                               sum(per_op.values()) / 1e9 / steps, 3),
-                          'events': sum(1 for _ in per_op)}))
+                          'events': n_events[key]}))
     # the exclusive execution timeline is the 'XLA Ops' line; 'Async
     # XLA Ops' records copy WINDOWS that overlap compute (their sum can
     # exceed wall time and only indicates overlap pressure)

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..parallel.mesh import shard_batch
+from ..parallel.mesh import place_batch
 
 # process-pool workers hold the dataset as a per-process global, set
 # once by the pool initializer (fork makes this cheap on Linux); only
@@ -138,6 +138,7 @@ class DataLoader:
         self._rng = np.random.default_rng(seed)
         self._key = jax.random.PRNGKey(seed)
         self._epoch = 0
+        self._skip_next = 0  # one-shot batch skip (see skip_next)
         if device_augment is None:
             device_augment = hasattr(dataset, 'load_raw')
         self.device_augment = device_augment
@@ -185,6 +186,15 @@ class DataLoader:
             if self.shuffle_enabled:
                 # consume the RNG identically to _index_batches
                 self._rng.shuffle(np.arange(len(self.dataset)))
+
+    def skip_next(self, n_batches):
+        """Skip the first ``n_batches`` of the NEXT iteration without
+        decoding them. Batch indexing (and therefore the per-batch
+        on-device flip keys) keeps its original numbering, so the
+        remaining stream is identical to slicing an uninterrupted
+        epoch -- mid-epoch resume uses this to avoid re-decoding the
+        already-trained prefix (train/trainer.py)."""
+        self._skip_next = int(n_batches)
 
     def _index_batches(self):
         idx = np.arange(len(self.dataset))
@@ -275,19 +285,7 @@ class DataLoader:
             pass
 
     def _to_device(self, batch):
-        if self.mesh is not None and self.mesh.devices.size > 1:
-            from ..parallel.spatial import (SPATIAL_AXIS,
-                                            shard_batch_spatial)
-            if SPATIAL_AXIS in self.mesh.axis_names:
-                dp = self.mesh.shape['data']
-                sp = self.mesh.shape[SPATIAL_AXIS]
-                if batch[0].shape[0] % dp == 0 and \
-                        batch[0].shape[1] % sp == 0:
-                    return shard_batch_spatial(batch, self.mesh)
-                return jax.device_put(batch)
-            if batch[0].shape[0] % self.mesh.devices.size == 0:
-                return shard_batch(batch, self.mesh)
-        return jax.device_put(batch)
+        return place_batch(batch, self.mesh)
 
     def _local_indices(self, indices):
         """This host's contiguous slice of a global index batch."""
@@ -312,6 +310,7 @@ class DataLoader:
         self._epoch += 1
         epoch_key = jax.random.fold_in(self._key, self._epoch)
         batches = self._index_batches()
+        skip_first, self._skip_next = self._skip_next, 0
         flip = bool(getattr(self.dataset, 'augmentation', None)
                     == 'randomcrop+flip') and self.device_augment
         labels = None
@@ -346,6 +345,8 @@ class DataLoader:
                 for bi, indices in enumerate(batches):
                     if stop.is_set():
                         return
+                    if bi < skip_first:
+                        continue  # mid-epoch resume (skip_next)
                     # note: _index_batches already drops un-shardable
                     # remainder batches (with a warning), so every
                     # batch here divides across process_count hosts

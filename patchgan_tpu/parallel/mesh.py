@@ -44,3 +44,26 @@ def replicate(tree, mesh):
     sharding = replicated_sharding(mesh)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), tree)
+
+
+def place_batch(batch, mesh):
+    """Place an (x, y) NHWC batch for ANY of this package's meshes.
+
+    Single decision tree shared by the DataLoader and the Trainer:
+    spatial meshes shard N over 'data' and H over 'spatial'; other
+    multi-device meshes shard N over 'data'; anything that fails the
+    divisibility guards (or a 1-device mesh) falls back to a plain
+    device_put and lets GSPMD reshard inside jit.
+    """
+    if mesh is not None and mesh.devices.size > 1:
+        from .spatial import SPATIAL_AXIS, shard_batch_spatial
+        if SPATIAL_AXIS in mesh.axis_names:
+            dp = mesh.shape[DATA_AXIS]
+            sp = mesh.shape[SPATIAL_AXIS]
+            if batch[0].shape[0] % dp == 0 and \
+                    batch[0].shape[1] % sp == 0:
+                return shard_batch_spatial(batch, mesh)
+            return jax.device_put(batch)
+        if batch[0].shape[0] % mesh.devices.size == 0:
+            return shard_batch(batch, mesh)
+    return jax.device_put(batch)

@@ -104,9 +104,14 @@ def make_seg_loss(loss_type, seg_alpha, tversky_beta=0.75,
     == the reference's NCHW keepdim over (2,3)):
 
     - 'complement' (reference trainer.py:76-78): ``1 - share_c`` where
-      share_c is class c's fraction of the batch's positive pixels;
-    - 'inverse': ``(1/share_c) / sum(1/share)`` -- inverse-frequency,
-      emphasising rare classes much harder than the complement form;
+      share_c is class c's per-sample fraction of the batch's positive
+      pixels;
+    - 'inverse': normalised inverse BATCH frequency, emphasising rare
+      classes much harder than the complement form. Shares are computed
+      over the whole batch (a class absent from one sample but present
+      in the batch keeps a sane weight) and floored at 1/(100*C), so a
+      class absent from the entire batch is capped at 100x the uniform
+      weight instead of absorbing all gradient signal;
     - 'none': uniform weights (plain BCE scaled by seg_alpha).
     """
     if loss_type == 'tversky':
@@ -120,14 +125,20 @@ def make_seg_loss(loss_type, seg_alpha, tversky_beta=0.75,
                 "('complement', 'inverse', 'none')")
 
         def seg(gen_img, y):
-            if gen_img.shape[-1] > 1 and bce_weighting != 'none':
+            c = gen_img.shape[-1]
+            if c > 1 and bce_weighting != 'none':
                 yf = y.astype(jnp.float32)
-                share = (jnp.sum(yf, axis=(1, 2), keepdims=True)
-                         / jnp.sum(yf))
                 if bce_weighting == 'inverse':
-                    inv = 1.0 / jnp.maximum(share, 1e-6)
-                    weight = inv / jnp.sum(inv, axis=-1, keepdims=True)
-                else:  # 'complement' (reference semantics)
+                    # batch-level shares, floored so absent classes
+                    # cannot absorb all the gradient signal
+                    share = (jnp.sum(yf, axis=(0, 1, 2), keepdims=True)
+                             / jnp.sum(yf))
+                    inv = 1.0 / jnp.maximum(share, 1.0 / (100.0 * c))
+                    weight = jnp.broadcast_to(
+                        c * inv / jnp.sum(inv), y.shape[:1] + (1, 1, c))
+                else:  # 'complement' (reference semantics, per sample)
+                    share = (jnp.sum(yf, axis=(1, 2), keepdims=True)
+                             / jnp.sum(yf))
                     weight = 1.0 - share
             else:
                 weight = jnp.ones_like(y, dtype=jnp.float32)

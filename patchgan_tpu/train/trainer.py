@@ -36,7 +36,7 @@ import jax
 import numpy as np
 import tqdm
 
-from ..parallel.mesh import default_mesh, replicate, shard_batch
+from ..parallel.mesh import default_mesh, replicate
 from ..utils import checkpoint as ckpt
 from ..utils.transfer import (disc_key_map, export_state_dict,
                               load_transfer_data, unet_key_map)
@@ -108,6 +108,7 @@ class Trainer:
         self._pending_training_state = None  # exact-resume file
         self._resume_skip_batches = 0  # mid-epoch resume (see
         #                                save_every_steps)
+        self._resume_loader_epoch = None
 
         # parameter init is shape-independent (all-conv nets): use a tiny
         # dummy spatial extent. weights_init parity: xavier-uniform conv
@@ -168,21 +169,8 @@ class Trainer:
         # through (converting them would round-trip device->host->device)
         if isinstance(x, jax.Array) and isinstance(y, jax.Array):
             return x, y
-        x = np.asarray(x)
-        y = np.asarray(y)
-        from ..parallel.spatial import SPATIAL_AXIS, shard_batch_spatial
-        if SPATIAL_AXIS in self.mesh.axis_names:
-            # spatial-parallel training: batch over 'data', image
-            # height over 'spatial' (parallel/spatial.py)
-            dp = self.mesh.shape['data']
-            sp = self.mesh.shape[SPATIAL_AXIS]
-            if x.shape[0] % dp == 0 and x.shape[1] % sp == 0:
-                return shard_batch_spatial((x, y), self.mesh)
-            return jax.device_put((x, y))
-        n_dev = len(self.mesh.devices.flat)
-        if x.shape[0] % n_dev == 0 and n_dev > 1:
-            return shard_batch((x, y), self.mesh)
-        return jax.device_put((x, y))
+        from ..parallel.mesh import place_batch
+        return place_batch((np.asarray(x), np.asarray(y)), self.mesh)
 
     # ------------------------------------------------------------------
     # the public per-batch entry point (reference trainer.py:50-115)
@@ -255,15 +243,30 @@ class Trainer:
             self._pending_training_state = None
         self.state = replicate(self.state, self.mesh)
 
-        if self._resume_skip_batches:
-            print(f"Resuming mid-epoch: skipping the "
-                  f"{self._resume_skip_batches} already-trained batches "
-                  f"of epoch {self.start}")
+        if self._resume_skip_batches or self._resume_loader_epoch:
+            if self._resume_skip_batches:
+                print(f"Resuming mid-epoch: skipping the "
+                      f"{self._resume_skip_batches} already-trained "
+                      f"batches of epoch {self.start}")
             if hasattr(train_data, 'fast_forward'):
                 # replay the interrupted run's shuffle order exactly so
                 # the continuation is bit-identical to an uninterrupted
-                # run (DataLoader.fast_forward)
-                train_data.fast_forward(self.start - 1)
+                # run. The step metadata records the LOADER iteration
+                # the resumed epoch consumes (not the calendar epoch --
+                # a resumed run's fresh loader starts over), falling
+                # back to calendar epochs for pre-metadata checkpoints.
+                le = self._resume_loader_epoch or self.start
+                train_data.fast_forward(le - 1)
+            if self._resume_skip_batches and \
+                    hasattr(train_data, 'skip_next'):
+                # index-level skip: the loader drops the batches before
+                # decoding them (flip keys stay aligned) instead of the
+                # consumer discarding fully-decoded batches.
+                # _resume_skip_batches stays set so step-save numbering
+                # still counts the skipped batches (see _run_epoch).
+                train_data.skip_next(self._resume_skip_batches)
+                self._resume_skip_delegated = True
+            self._resume_loader_epoch = None
 
         if reduce_on_plateau:
             gen_sched = ReduceLROnPlateau(gen_lr)
@@ -302,13 +305,16 @@ class Trainer:
                 loss_mean, n_images, elapsed = self._run_epoch(
                     train_data, train=True, desc='Training: ',
                     epoch=epoch)
-            D_loss_ep.append(loss_mean['disc'])
-            G_loss_ep.append(loss_mean['gen'])
+            # a mid-epoch resume can skip EVERY batch of the restored
+            # epoch (preempted between its last step-save and the next
+            # epoch's first) -- then there are no fresh loss means
+            D_loss_ep.append(loss_mean.get('disc', float('nan')))
+            G_loss_ep.append(loss_mean.get('gen', float('nan')))
             if elapsed > 0:
                 print(f"  {n_images} images in {elapsed:.1f}s "
                       f"({n_images / elapsed:.1f} img/s)")
 
-            if self.neptune_config is not None:
+            if self.neptune_config is not None and loss_mean:
                 self.neptune_config['train/gen_loss'].append(
                     loss_mean['gen'])
                 self.neptune_config['train/disc_loss'].append(
@@ -331,6 +337,17 @@ class Trainer:
             if epoch % save_freq == 0:
                 self.save(epoch)
 
+            if self.save_every_steps:
+                # mark the epoch complete: the rolling state now says
+                # "epoch+1, nothing done", so a crash between epochs
+                # resumes cleanly and no stale mid-epoch metadata can
+                # rewind a later run. loader_epoch = the loader
+                # iteration the NEXT epoch consumes.
+                le = getattr(train_data, '_epoch', None)
+                self._save_step_state(
+                    epoch + 1, 0,
+                    loader_epoch=None if le is None else le + 1)
+
         if self.checkpoint_format == 'orbax' and self.save_optimizer_state:
             from ..utils import orbax_ckpt
             orbax_ckpt.wait()  # commit any in-flight async save
@@ -347,9 +364,16 @@ class Trainer:
         count = 0
         pending = None  # one-step delay: don't stall the device pipeline
         n_images = 0
-        skip = self._resume_skip_batches if train else 0
-        self._resume_skip_batches = 0
-        batches_done = skip
+        done_before = self._resume_skip_batches if train else 0
+        # when the loader performs the skip itself (skip_next), the
+        # consumer must not skip again -- but step-save numbering still
+        # counts the already-trained batches
+        skip = 0 if getattr(self, '_resume_skip_delegated', False) \
+            else done_before
+        if train:
+            self._resume_skip_batches = 0
+            self._resume_skip_delegated = False
+        batches_done = done_before
         t0 = time.perf_counter()
         for input_img, target_mask in pbar:
             if skip > 0:
@@ -364,7 +388,9 @@ class Trainer:
                 batches_done += 1
                 if self.save_every_steps and \
                         batches_done % self.save_every_steps == 0:
-                    self._save_step_state(epoch, batches_done)
+                    self._save_step_state(
+                        epoch, batches_done,
+                        loader_epoch=getattr(data, '_epoch', None))
             else:
                 losses = step(self.state, x, y)
             if pending is not None:
@@ -421,18 +447,27 @@ class Trainer:
                     f.write(flax.serialization.to_bytes(
                         jax.device_get(self.state)))
 
-    def _save_step_state(self, epoch, batches_done):
+    def _save_step_state(self, epoch, batches_done, loader_epoch=None):
         """Rolling mid-epoch checkpoint (preemption safety): the full
         TrainState plus progress metadata, overwritten each time so disk
-        stays bounded. Written atomically (tmp + rename); the metadata
-        is written LAST so a crash mid-save leaves the previous
-        consistent pair or a state file without metadata -- never a
-        metadata file pointing at a torn state."""
+        stays bounded. Crash-atomic: msgpack goes through tmp+rename;
+        orbax alternates between two slot directories so the slot the
+        metadata points at is never the one being rewritten; the
+        metadata is written LAST, so a crash mid-save always leaves a
+        consistent (metadata -> intact state) pair.
+
+        ``loader_epoch`` records which DataLoader iteration epoch
+        ``epoch`` consumes, so a CHAINED resume (resume of a resumed
+        run) replays the exact shuffle order instead of assuming loader
+        iterations == calendar epochs."""
         import json
 
         if self.checkpoint_format == 'orbax':
             from ..utils import orbax_ckpt
-            state_path = os.path.join(self.savefolder, 'step_state.orbax')
+            self._step_slot = 'b' if getattr(self, '_step_slot', 'b') \
+                == 'a' else 'a'
+            state_path = os.path.join(
+                self.savefolder, f'step_state_{self._step_slot}.orbax')
             orbax_ckpt.save_async(state_path, self.state)
             orbax_ckpt.wait()  # metadata must not precede the bytes
         else:
@@ -449,6 +484,7 @@ class Trainer:
         with open(tmp, 'w') as f:
             json.dump({'epoch': int(epoch),
                        'batches_done': int(batches_done),
+                       'loader_epoch': loader_epoch,
                        'state': os.path.basename(state_path)}, f)
         os.replace(tmp, meta_path)
 
@@ -470,6 +506,7 @@ class Trainer:
             self._pending_training_state = state_path
             self.start = int(meta['epoch'])
             self._resume_skip_batches = int(meta['batches_done'])
+            self._resume_loader_epoch = meta.get('loader_epoch')
             print(f"Found mid-epoch checkpoint: epoch {self.start}, "
                   f"{self._resume_skip_batches} batches done")
         except Exception as e:

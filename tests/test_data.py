@@ -363,3 +363,24 @@ def test_loader_per_host_remainder_accounting(coco_dir):
     # hosts -> dropped from BOTH len and iteration
     assert len(ld5) == 1
     assert sum(1 for _ in ld5) == 1
+
+
+def test_loader_skip_next_matches_slice(coco_dir):
+    """skip_next(k) must yield exactly the tail of an uninterrupted
+    epoch, bit for bit -- including the per-batch on-device flip draws,
+    whose keys are indexed by the ORIGINAL batch number."""
+    ds = COCOStuffDataset(*coco_dir, labels=[1, 2, 3], size=32,
+                          augmentation='randomcrop+flip')
+    full = DataLoader(ds, batch_size=2, shuffle=True, num_workers=1,
+                      seed=11)
+    skip = DataLoader(ds, batch_size=2, shuffle=True, num_workers=1,
+                      seed=11)
+    skip.skip_next(2)
+    full_batches = [(np.asarray(x), np.asarray(y)) for x, y in full]
+    tail = [(np.asarray(x), np.asarray(y)) for x, y in skip]
+    assert len(tail) == len(full_batches) - 2
+    for (xf, yf), (xs, ys) in zip(full_batches[2:], tail):
+        np.testing.assert_array_equal(xf, xs)
+        np.testing.assert_array_equal(yf, ys)
+    # one-shot: the next epoch is complete again
+    assert sum(1 for _ in skip) == len(full_batches)

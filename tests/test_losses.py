@@ -129,3 +129,34 @@ def test_bce_weighting_variants():
     import pytest
     with pytest.raises(ValueError, match='bce_weighting'):
         make_seg_loss('weighted_bce', 1.0, bce_weighting='bogus')
+
+
+def test_inverse_bce_weighting_absent_class_capped():
+    """A class absent from the whole batch must not absorb the gradient
+    signal: its weight is capped (share floored at 1/(100*C)) and the
+    present classes keep meaningful weights."""
+    import numpy as np
+    from patchgan_tpu.train.steps import make_seg_loss
+    import jax
+
+    rng = np.random.default_rng(1)
+    labels = (rng.uniform(size=(2, 16, 16)) > 0.5).astype(int)
+    y3 = np.zeros((2, 16, 16, 3), np.float32)
+    y3[..., 0] = (labels == 0)
+    y3[..., 1] = (labels == 1)          # class 2 never appears
+    pred = np.clip(rng.uniform(size=y3.shape).astype(np.float32),
+                   1e-3, 1 - 1e-3)
+
+    seg = make_seg_loss('weighted_bce', 1.0, bce_weighting='inverse')
+    v = float(seg(pred, y3))
+    assert np.isfinite(v)
+    # gradient signal for PRESENT classes survives: perturbing the
+    # present-class predictions changes the loss substantially
+    g = jax.grad(lambda p: seg(p, y3))(pred)
+    g = np.asarray(g)
+    present_mag = np.abs(g[..., :2]).mean()
+    absent_mag = np.abs(g[..., 2]).mean()
+    assert present_mag > 0
+    # the absent class is weighted at most ~100x the uniform weight,
+    # not ~1e6x as a raw inverse of a 1e-6-floored share would give
+    assert absent_mag < 1000 * present_mag

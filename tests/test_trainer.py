@@ -292,8 +292,11 @@ def test_step_checkpoint_writes_rolling_state(tmp_path, rng):
     folder = trainer.savefolder
     assert os.path.exists(f'{folder}training_state_step.msgpack')
     import json
+    # the end-of-epoch completion marker supersedes the mid-epoch
+    # entries: "epoch 2, nothing done" -> a crash between epochs
+    # resumes cleanly and stale mid-epoch metadata cannot rewind
     meta = json.load(open(f'{folder}step_state.json'))
-    assert meta['epoch'] == 1 and meta['batches_done'] == 4
+    assert meta['epoch'] == 2 and meta['batches_done'] == 0
 
 
 def test_preemption_resume_matches_uninterrupted(tmp_path, rng):
@@ -352,3 +355,86 @@ def test_preemption_resume_through_orbax(tmp_path, rng):
         for a, b in zip(jax.tree_util.tree_leaves(expect),
                         jax.tree_util.tree_leaves(got)))
     assert cont.start == 2
+
+
+class PreemptIter:
+    """Transparent proxy over a DataLoader that raises at the Nth batch
+    ever served (preemption analog for real loaders)."""
+
+    def __init__(self, inner, fail_at):
+        self.inner = inner
+        self.fail_at = fail_at
+        self.served = 0
+
+    def __iter__(self):
+        for b in self.inner:
+            self.served += 1
+            if self.served == self.fail_at:
+                raise KeyboardInterrupt('preempted')
+            yield b
+
+    def __len__(self):
+        return len(self.inner)
+
+    def __getattr__(self, name):
+        return getattr(self.inner, name)
+
+
+class RawDS:
+    """Tiny in-memory raw dataset driving the DataLoader fast path."""
+    labels = [1]
+    augmentation = 'randomcrop'  # deterministic: no flips
+
+    def __init__(self, n=8, size=128):
+        rng = np.random.default_rng(0)
+        self.imgs = rng.uniform(size=(n, size, size, 3)) \
+            .astype(np.float32)
+        self.maps = np.ones((n, size, size), np.int32)
+
+    def __len__(self):
+        return len(self.imgs)
+
+    def load_raw(self, i):
+        return self.imgs[i], self.maps[i]
+
+
+def test_chained_preemption_resume_matches_uninterrupted(tmp_path):
+    """Resume OF A RESUMED run with real DataLoaders: the step metadata
+    records the loader iteration (not the calendar epoch), so the
+    replayed shuffle order and skip land on the right batches and the
+    final params equal the uninterrupted run's bit for bit."""
+    from patchgan_tpu.data import DataLoader
+
+    def loader():
+        return DataLoader(RawDS(), batch_size=2, shuffle=True,
+                          num_workers=1, seed=5)
+
+    ref = make_trainer(tmp_path / 'ref')
+    ref.train(loader(), [], epochs=3, save_freq=10)
+    ref_params = jax.device_get(ref.state.g_params)
+
+    # run 1: epoch 1 only, with step checkpointing
+    r1 = make_trainer(tmp_path / 'x')
+    r1.save_every_steps = 1
+    r1.train(loader(), [], epochs=1, save_freq=10)
+
+    # run 2: resumes at epoch 2 (fresh loader), preempted at its 4th
+    # batch -> 3 batches of epoch 2 are trained
+    r2 = make_trainer(tmp_path / 'x', seed=77)
+    r2.save_every_steps = 1
+    r2.load_last_checkpoint()
+    assert r2.start == 2 and r2._resume_skip_batches == 0
+    with pytest.raises(KeyboardInterrupt):
+        r2.train(PreemptIter(loader(), fail_at=4), [], epochs=3,
+                 save_freq=10)
+
+    # run 3: resumes mid-epoch-2 of a RESUMED run
+    r3 = make_trainer(tmp_path / 'x', seed=123)
+    r3.load_last_checkpoint()
+    assert r3.start == 2 and r3._resume_skip_batches == 3
+    r3.train(loader(), [], epochs=3, save_freq=10)
+
+    got = jax.device_get(r3.state.g_params)
+    for a, b in zip(jax.tree_util.tree_leaves(ref_params),
+                    jax.tree_util.tree_leaves(got)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
