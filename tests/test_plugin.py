@@ -6,7 +6,6 @@ import os
 import numpy as np
 import pytest
 import yaml
-from PIL import Image
 
 PLUGIN_IO = '''
 import glob
