@@ -384,3 +384,62 @@ def test_loader_skip_next_matches_slice(coco_dir):
         np.testing.assert_array_equal(yf, ys)
     # one-shot: the next epoch is complete again
     assert sum(1 for _ in skip) == len(full_batches)
+
+
+def test_loader_fast_forward_reproduces_epoch_order(coco_dir):
+    """fast_forward(k) + iterate == iterating k+1 times: the shuffle
+    order and flip draws of epoch k+1 are reproduced exactly."""
+    ds = COCOStuffDataset(*coco_dir, labels=[1, 2, 3], size=32,
+                          augmentation='randomcrop+flip')
+    a = DataLoader(ds, batch_size=4, shuffle=True, num_workers=1, seed=9)
+    for _ in a:   # epoch 1
+        pass
+    for _ in a:   # epoch 2
+        pass
+    third_a = [(np.asarray(x), np.asarray(y)) for x, y in a]  # epoch 3
+
+    b = DataLoader(ds, batch_size=4, shuffle=True, num_workers=1, seed=9)
+    b.fast_forward(2)
+    third_b = [(np.asarray(x), np.asarray(y)) for x, y in b]
+    for (xa, ya), (xb, yb) in zip(third_a, third_b):
+        np.testing.assert_array_equal(xa, xb)
+        np.testing.assert_array_equal(ya, yb)
+
+
+def test_place_batch_mesh_variants(coco_dir):
+    """One shared placement decision tree for all mesh shapes."""
+    import jax
+    from patchgan_tpu.parallel.mesh import default_mesh, place_batch
+    from patchgan_tpu.parallel.spatial import spatial_mesh
+
+    x = np.zeros((8, 32, 32, 3), np.float32)
+    y = np.zeros((8, 32, 32, 1), np.float32)
+    xd, _ = place_batch((x, y), default_mesh())
+    assert len(xd.sharding.device_set) == 8
+
+    shardy = jax.config.jax_use_shardy_partitioner
+    try:
+        xs, _ = place_batch((x, y), spatial_mesh(2, 4))
+        assert xs.addressable_shards[0].data.shape[:2] == (4, 8)
+        # indivisible height -> plain device_put fallback
+        x2 = np.zeros((8, 30, 30, 3), np.float32)
+        xf, _ = place_batch((x2, y), spatial_mesh(2, 4))
+        assert xf.shape == (8, 30, 30, 3)
+    finally:
+        jax.config.update('jax_use_shardy_partitioner', shardy)
+    # no mesh -> device_put
+    xn, _ = place_batch((x, y), None)
+    assert xn.shape == x.shape
+
+
+def test_loader_close_releases_process_pool(coco_dir):
+    ds = COCOStuffDataset(*coco_dir, labels=[1], size=32,
+                          augmentation='randomcrop')
+    ld = DataLoader(ds, batch_size=4, num_workers=1,
+                    worker_type='process')
+    next(iter(ld))
+    assert ld._proc_pool is not None
+    ld.close()
+    assert ld._proc_pool is None
+    # reusable after close: a fresh pool spins up
+    assert sum(1 for _ in ld) == 2
