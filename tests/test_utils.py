@@ -106,3 +106,25 @@ def test_state_dict_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         loaded['encoder.0.model.DownConv0.weight'],
         sd['encoder.0.model.DownConv0.weight'])
+
+
+def test_shipped_example_configs_parse():
+    """The reference SHIPPED an example config its own parser crashed
+    on (quirk Q1); ours must always parse both shipped examples."""
+    import os
+    from patchgan_tpu.utils.config import (dataset_paths, load_config,
+                                           model_params)
+
+    root = os.path.join(os.path.dirname(__file__), '..', 'examples')
+    train_cfg = load_config(os.path.join(root, 'train_coco.yaml'))
+    gen_cfg, disc_cfg = model_params(train_cfg)
+    assert gen_cfg['filters'] > 0 and disc_cfg['n_layers'] > 0
+    tr, va, data, split = dataset_paths(train_cfg)
+    assert (tr and va) or (data and split)
+    assert 'train_params' in train_cfg
+
+    infer_cfg = load_config(os.path.join(root, 'infer_coco.yaml'))
+    gen_cfg, _ = model_params(infer_cfg)
+    assert gen_cfg['filters'] > 0
+    assert 'checkpoint_paths' in infer_cfg
+    assert 'output_path' in infer_cfg['infer_params']
