@@ -251,3 +251,40 @@ def test_train_cli_spatial_parallelism(coco_tree):
             os.path.join(cfg['checkpoint_path'], 'generator_ep_001.npz'))
     finally:
         jax.config.update('jax_use_shardy_partitioner', shardy_before)
+
+
+def test_serve_cli_watch_once_and_idempotent(coco_tree, capsys):
+    """patchgan_serve --watch --once: serves the backlog, skips
+    already-served images on the next pass (restart-safe)."""
+    from patchgan_tpu.cli.serve import patchgan_serve
+
+    cfg = nested_config(coco_tree)
+    cfg_path = write_config(coco_tree, cfg)
+    patchgan_train(['-c', cfg_path, '-n', '1', '-b', '4',
+                    '--dtype', 'float32'])
+
+    serve_cfg = {
+        'dataset': {'type': 'COCOStuff', 'size': SIZE, 'labels': [1, 2]},
+        'model_params': cfg['model_params'],
+        'checkpoint_paths': {
+            'generator': os.path.join(cfg['checkpoint_path'],
+                                      'generator_ep_001.npz'),
+        },
+        'infer_params': {
+            'output_path': str(coco_tree / 'served'),
+            'threshold': 0.5, 'overlap': 0.9,
+        },
+    }
+    serve_path = write_config(coco_tree, serve_cfg, 'serve.yaml')
+    n = patchgan_serve(['-c', serve_path, '--once', '--dtype', 'float32',
+                        '--watch', str(coco_tree / 'val' / 'images')])
+    assert n == 4
+    masks = sorted(os.listdir(coco_tree / 'served'))
+    assert len(masks) == 4
+    arr = np.asarray(Image.open(coco_tree / 'served' / masks[0]))
+    assert arr.shape == (SIZE, SIZE)
+
+    capsys.readouterr()
+    n = patchgan_serve(['-c', serve_path, '--once', '--dtype', 'float32',
+                        '--watch', str(coco_tree / 'val' / 'images')])
+    assert n == 0  # idempotent: everything already served
