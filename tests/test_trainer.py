@@ -438,3 +438,28 @@ def test_chained_preemption_resume_matches_uninterrupted(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(ref_params),
                     jax.tree_util.tree_leaves(got)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_step_checkpoint_torn_metadata_is_ignored(tmp_path, capsys):
+    """Crash-consistency: metadata pointing at a missing state file, or
+    unreadable metadata, must degrade to a normal (non-step) resume
+    instead of crashing."""
+    import json
+    trainer = make_trainer(tmp_path)
+    folder = trainer.savefolder
+    # metadata referencing a state file that was never written
+    with open(os.path.join(folder, 'step_state.json'), 'w') as f:
+        json.dump({'epoch': 5, 'batches_done': 3,
+                   'state': 'training_state_step.msgpack'}, f)
+    trainer.load_last_checkpoint()
+    assert trainer.start == 1
+    assert trainer._resume_skip_batches == 0
+
+    # corrupt metadata
+    with open(os.path.join(folder, 'step_state.json'), 'w') as f:
+        f.write('{not json')
+    t2 = make_trainer(tmp_path, seed=2)
+    t2.load_last_checkpoint()
+    assert t2.start == 1
+    assert 'Ignoring unreadable step checkpoint' in \
+        capsys.readouterr().out
