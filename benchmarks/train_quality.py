@@ -30,16 +30,17 @@ import numpy as np  # noqa: E402
 SIZE = 128
 
 
-def make_data(rng, n):
-    yy, xx = np.mgrid[0:SIZE, 0:SIZE]
-    imgs = np.empty((n, SIZE, SIZE, 3), np.float32)
-    masks = np.empty((n, SIZE, SIZE, 1), np.float32)
+def make_data(rng, n, size=SIZE):
+    yy, xx = np.mgrid[0:size, 0:size]
+    imgs = np.empty((n, size, size, 3), np.float32)
+    masks = np.empty((n, size, size, 1), np.float32)
+    scale = size / SIZE
     for i in range(n):
-        img = rng.uniform(0.0, 0.25, size=(SIZE, SIZE, 3))
-        mask = np.zeros((SIZE, SIZE), bool)
+        img = rng.uniform(0.0, 0.25, size=(size, size, 3))
+        mask = np.zeros((size, size), bool)
         for _ in range(rng.integers(1, 4)):
-            cy, cx = rng.uniform(12, SIZE - 12, 2)
-            ry, rx = rng.uniform(6, 16, 2)
+            cy, cx = rng.uniform(12 * scale, size - 12 * scale, 2)
+            ry, rx = rng.uniform(6 * scale, 16 * scale, 2)
             e = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 <= 1.0
             mask |= e
             color = rng.uniform(0.6, 1.0, 3)

@@ -3,7 +3,12 @@
 A long-running inference service the reference has no analog for
 (its infer CLI, /root/reference/patchgan/infer.py:71-174, is a one-shot
 batch job): the generator is loaded ONCE, the tiled/spatial forward is
-compiled ONCE, and the process then serves images either by
+compiled ONCE -- at STARTUP via a warmup forward, so the first request
+pays no jit-compile stall -- decode runs in look-ahead threads that
+overlap the device forward, a corrupt input is logged and skipped
+(remembered by mtime; one bad file never crashes the service), and
+``--batch N`` groups backlog images' tiles through one bucketed
+forward. The process serves images either by
 
 - watching a directory (``--watch DIR``): new images are picked up each
   poll, masks written next to ``serve_params.output_path``, already-
@@ -84,48 +89,194 @@ def _decode(path):
             / 255.0)
 
 
-def _serve_one(engine, mode, output_path, path):
+def _save(mask, output_path, path):
     from ..data.coco import COCOStuffDataset
-    image = _decode(path)
-    mask = engine.predict_image(image, mode=mode)
     fname = os.path.splitext(os.path.basename(path))[0]
     COCOStuffDataset.save_mask(mask, output_path, fname)
     return os.path.join(output_path, f'{fname}.png')
 
 
-def _watch_loop(engine, mode, output_path, watch_dir, poll, once):
-    served = 0
-    while True:
-        todo = []
-        for name in sorted(os.listdir(watch_dir)):
-            if not name.lower().endswith(IMAGE_EXTS):
-                continue
-            out = os.path.join(
-                output_path, os.path.splitext(name)[0] + '.png')
-            if not os.path.exists(out):
-                todo.append(os.path.join(watch_dir, name))
-        for path in todo:
-            t0 = time.perf_counter()
-            out = _serve_one(engine, mode, output_path, path)
-            served += 1
-            print(f"{out}  ({(time.perf_counter() - t0) * 1e3:.0f} ms)",
-                  flush=True)
-        if once:
-            print(f"served {served} images", flush=True)
-            return served
-        time.sleep(poll)
+def _serve_one(engine, mode, output_path, path, image=None):
+    if image is None:
+        image = _decode(path)
+    mask = engine.predict_image(image, mode=mode)
+    return _save(mask, output_path, path)
 
 
-def _stdin_loop(engine, mode, output_path):
-    for line in sys.stdin:
-        path = line.strip()
-        if not path:
-            continue
+def _warmup(engine, mode):
+    """Compile the forward(s) BEFORE the first request so request #1
+    pays milliseconds, not the multi-second jit compile."""
+    import numpy as np
+    t0 = time.perf_counter()
+    c = engine.generator.input_nc
+    if mode == 'spatial':
+        engine.predict_image(
+            np.zeros((engine.size, engine.size, c), np.float32),
+            mode='spatial')
+    else:
+        # both tile-bucket programs: the small-image bucket (one tile
+        # rounds up to 8) and the full bucket large images use
+        engine.predict_tiles(
+            np.zeros((1, engine.size, engine.size, c), np.float32))
+        engine.predict_tiles(np.zeros(
+            (engine.batch_size, engine.size, engine.size, c), np.float32))
+    print(f"warmup: {mode} forward compiled in "
+          f"{time.perf_counter() - t0:.1f} s", flush=True)
+
+
+def _decode_ahead(pool, paths, lookahead=4):
+    """Yield (path, image_or_exception) with a bounded decode window
+    running ahead of the consumer (the infer CLI's look-ahead pattern,
+    cli/infer.py)."""
+    from collections import deque
+
+    def safe(p):
+        return _decode(p)
+
+    pending = deque()
+    it = iter(paths)
+    try:
+        while len(pending) < lookahead:
+            p = next(it)
+            pending.append((p, pool.submit(safe, p)))
+    except StopIteration:
+        it = iter(())
+    while pending:
+        path, fut = pending.popleft()
+        for p in it:
+            pending.append((p, pool.submit(safe, p)))
+            break
         try:
-            print(_serve_one(engine, mode, output_path, path),
-                  flush=True)
+            yield path, fut.result()
         except Exception as e:
-            print(f"ERROR {e}", flush=True)
+            yield path, e
+
+
+def _watch_loop(engine, mode, output_path, watch_dir, poll, once,
+                batch=0, workers=2):
+    """Poll ``watch_dir``; decode ahead of the device; serve each new
+    image (or, with ``batch`` > 1, groups of images through one bucketed
+    forward). A file that fails (corrupt/truncated image) is logged,
+    remembered by mtime, and skipped until it changes -- one bad file
+    must never crash or wedge the long-running service."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    served = 0
+    failed = {}  # path -> mtime at failure; retried if rewritten
+    with ThreadPoolExecutor(max_workers=max(1, workers)) as pool:
+        while True:
+            todo = []
+            for name in sorted(os.listdir(watch_dir)):
+                if not name.lower().endswith(IMAGE_EXTS):
+                    continue
+                out = os.path.join(
+                    output_path, os.path.splitext(name)[0] + '.png')
+                path = os.path.join(watch_dir, name)
+                if os.path.exists(out):
+                    continue
+                try:
+                    mtime = os.path.getmtime(path)
+                except OSError:
+                    continue  # raced with deletion
+                if failed.get(path) == mtime:
+                    continue
+                todo.append(path)
+
+            group, group_imgs = [], []
+
+            def flush_group():
+                nonlocal served
+                if not group:
+                    return
+                t0 = time.perf_counter()
+                masks = engine.predict_images(group_imgs)
+                dt = (time.perf_counter() - t0) * 1e3 / len(group)
+                for p, m in zip(group, masks):
+                    print(f"{_save(m, output_path, p)}  "
+                          f"({dt:.0f} ms/img, batch {len(group)})",
+                          flush=True)
+                    served += 1
+                group.clear()
+                group_imgs.clear()
+
+            for path, image in _decode_ahead(pool, todo):
+                try:
+                    if isinstance(image, Exception):
+                        raise image
+                    if batch > 1 and mode != 'spatial':
+                        group.append(path)
+                        group_imgs.append(image)
+                        if len(group) >= batch:
+                            flush_group()
+                    else:
+                        t0 = time.perf_counter()
+                        out = _serve_one(engine, mode, output_path, path,
+                                         image=image)
+                        served += 1
+                        print(f"{out}  "
+                              f"({(time.perf_counter() - t0) * 1e3:.0f}"
+                              f" ms)", flush=True)
+                except Exception as e:
+                    try:
+                        failed[path] = os.path.getmtime(path)
+                    except OSError:
+                        pass
+                    print(f"ERROR {path}: {e}", flush=True)
+            flush_group()
+            if once:
+                print(f"served {served} images", flush=True)
+                return served
+            time.sleep(poll)
+
+
+def _stdin_loop(engine, mode, output_path, workers=2):
+    """One input path per line; the mask path (or "ERROR <msg>") echoed
+    per line. Decode runs ahead of the device: a feeder thread reads
+    stdin into a queue and the decode pool works on queued paths while
+    the current forward runs."""
+    import queue
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    from collections import deque
+
+    paths_q = queue.Queue(maxsize=64)
+    DONE = object()
+
+    def feeder():
+        for line in sys.stdin:
+            paths_q.put(line.strip())
+        paths_q.put(DONE)
+
+    threading.Thread(target=feeder, daemon=True).start()
+
+    done = False
+    pending = deque()
+    with ThreadPoolExecutor(max_workers=max(1, workers)) as pool:
+        while True:
+            # top up the decode window; block ONLY when nothing is in
+            # flight (an interactive single line is served immediately,
+            # a piped backlog decodes ahead of the device)
+            while not done and len(pending) < 2 * max(1, workers):
+                try:
+                    p = paths_q.get(block=not pending)
+                except queue.Empty:
+                    break
+                if p is DONE:
+                    done = True
+                elif p:
+                    pending.append((p, pool.submit(_decode, p)))
+            if not pending:
+                if done:
+                    return
+                continue
+            path, fut = pending.popleft()
+            try:
+                image = fut.result()
+                print(_serve_one(engine, mode, output_path, path,
+                                 image=image), flush=True)
+            except Exception as e:
+                print(f"ERROR {e}", flush=True)
 
 
 def patchgan_serve(argv=None):
@@ -141,6 +292,13 @@ def patchgan_serve(argv=None):
                         help='Watch-mode poll interval (seconds)')
     parser.add_argument('--once', action='store_true',
                         help='Watch mode: process the backlog and exit')
+    parser.add_argument('--batch', default=0, type=int,
+                        help='Watch mode: group up to N backlog images '
+                             'through one bucketed forward (tiled mode)')
+    parser.add_argument('--workers', default=2, type=int,
+                        help='Decode look-ahead threads')
+    parser.add_argument('--no-warmup', action='store_true',
+                        help='Skip the compile-at-startup warmup forward')
     parser.add_argument('-d', '--device', default='auto')
     parser.add_argument('--dtype', default='auto',
                         choices=['auto', 'float32', 'bfloat16'])
@@ -156,14 +314,17 @@ def patchgan_serve(argv=None):
     dtype = compute_dtype(args.dtype, platform)
     config = load_config(args.config_file)
     engine, mode, output_path = _build_engine(config, dtype)
+    if not args.no_warmup:
+        _warmup(engine, mode)
     print(f"Serving with {platform} ({mode} mode) -> {output_path}",
           flush=True)
 
     if args.stdin:
-        _stdin_loop(engine, mode, output_path)
+        _stdin_loop(engine, mode, output_path, workers=args.workers)
     else:
         return _watch_loop(engine, mode, output_path, args.watch,
-                           args.poll, args.once)
+                           args.poll, args.once, batch=args.batch,
+                           workers=args.workers)
 
 
 if __name__ == '__main__':

@@ -34,7 +34,8 @@ def patchgan_train(argv=None):
                         help='Number of images per batch')
     parser.add_argument('--dataloader_workers', default=4, type=int,
                         help='Number of decode workers for the input '
-                             'pipeline (0 disables threading)')
+                             'pipeline (0 decodes synchronously in the '
+                             'producer thread)')
     parser.add_argument('--dataloader_worker_type', default='thread',
                         choices=['thread', 'process'],
                         help="'thread' (GIL-free decode, supports the "
@@ -44,8 +45,15 @@ def patchgan_train(argv=None):
                         help='Number of epochs to train the model')
     parser.add_argument('-d', '--device', default='auto',
                         help="Device to train on: 'auto', 'tpu' or 'cpu'")
-    parser.add_argument('--summary', default=True, action='store_true',
-                        help='Print summary of the models')
+    # the reference's --summary is default-True AND store_true, i.e.
+    # impossible to disable (train.py:24); keep the flag a no-op for
+    # surface parity but add a working --no-summary
+    parser.add_argument('--summary', dest='summary', default=True,
+                        action='store_true',
+                        help='Print summary of the models (default)')
+    parser.add_argument('--no-summary', dest='summary',
+                        action='store_false',
+                        help='Skip the model summary tables')
     parser.add_argument('--dtype', default='auto',
                         choices=['auto', 'float32', 'bfloat16'],
                         help='Compute dtype (default: bf16 on TPU, fp32 '
@@ -103,7 +111,7 @@ def patchgan_train(argv=None):
     # byte budget (e.g. 2_000_000_000); epochs >= 2 then skip the decoder
     cache = dataset_params.get('cache', False)
     loader_kwargs = dict(batch_size=args.batch_size, shuffle=True,
-                         num_workers=max(args.dataloader_workers, 1),
+                         num_workers=args.dataloader_workers,
                          mesh=mesh, dtype=dtype, seed=args.seed,
                          cache=cache,
                          worker_type=args.dataloader_worker_type)

@@ -51,6 +51,17 @@ def _worker_getitem(index):
     return _WORKER_DS[int(index)]
 
 
+class _SyncPool:
+    """num_workers=0: decode inline in the producer thread (prefetch
+    into the bounded queue still overlaps decode with device compute)."""
+
+    def map(self, fn, iterable):
+        return [fn(i) for i in iterable]
+
+    def shutdown(self, wait=False):
+        pass
+
+
 @partial(jax.jit, static_argnames=('flip', 'dtype'))
 def _augment_batch(images, labelmaps, labels, key, flip=False,
                    dtype=jnp.float32):
@@ -89,7 +100,10 @@ class DataLoader:
         self.batch_size = batch_size
         self.shuffle_enabled = shuffle
         self.drop_last = drop_last
-        self.num_workers = max(1, num_workers)
+        # 0 = synchronous decode in the producer thread (no pool); the
+        # reference's torch DataLoader gives num_workers=0 the same
+        # meaning (decode in the iterating process, train.py:78-80)
+        self.num_workers = max(0, num_workers)
         self.prefetch = prefetch
         self.mesh = mesh
         self.dtype = dtype
@@ -100,6 +114,10 @@ class DataLoader:
         if worker_type not in ('thread', 'process'):
             raise ValueError(f"worker_type {worker_type!r} not in "
                              "('thread', 'process')")
+        if worker_type == 'process' and self.num_workers == 0:
+            raise ValueError(
+                "num_workers=0 (synchronous decode) requires "
+                "worker_type='thread'")
         if worker_type == 'process' and cache:
             raise ValueError(
                 "the decoded-image RAM cache lives in the parent "
@@ -156,15 +174,35 @@ class DataLoader:
         self._cache_lock = threading.Lock()
         self._proc_pool = None  # persistent across epochs (see close)
 
+    def _batch_divisor(self):
+        """Global-batch divisibility requirement under per-host
+        sharding: ``make_array_from_process_local_data`` needs the
+        global batch to split evenly over the mesh's batch-sharded
+        device count (verified: a global batch of 2 over an 8-device
+        'data' axis raises), and ``process_local_range`` needs it to
+        split evenly over the hosts — so a remainder batch is only
+        keepable when it divides lcm(hosts, batch-axis devices)."""
+        if not self.process_count:
+            return 1
+        d = self.process_count
+        if self.mesh is not None:
+            from ..parallel.multihost import DATA_AXIS, DCN_AXIS
+            n_batch_devices = 1
+            for axis in self.mesh.axis_names:
+                if axis in (DCN_AXIS, DATA_AXIS):
+                    n_batch_devices *= self.mesh.shape[axis]
+            d = int(np.lcm(d, n_batch_devices))
+        return d
+
     def __len__(self):
         n = len(self.dataset)
         full = n // self.batch_size
         rem = n - full * self.batch_size
         if self.drop_last or rem == 0:
             return full
-        if self.process_count and rem % self.process_count:
-            # the remainder batch cannot shard across hosts and is
-            # dropped (warned once in _index_batches)
+        if rem % self._batch_divisor():
+            # the remainder batch cannot shard across the hosts/mesh
+            # and is dropped (warned once in _index_batches)
             return full
         return full + 1
 
@@ -205,11 +243,13 @@ class DataLoader:
                    for i in range(n_full)]
         rem = len(idx) - n_full * self.batch_size
         if rem and not self.drop_last:
-            if self.process_count and rem % self.process_count:
+            divisor = self._batch_divisor()
+            if rem % divisor:
                 if not self._warned_remainder:
                     print(f"DataLoader: dropping the {rem}-sample "
                           f"remainder batch each epoch (not divisible "
-                          f"across {self.process_count} hosts)")
+                          f"by {divisor}: {self.process_count} hosts x "
+                          f"the mesh's batch-sharded devices)")
                     self._warned_remainder = True
             else:
                 batches.append(idx[-rem:])
@@ -327,6 +367,8 @@ class DataLoader:
         stop = threading.Event()
         if self.worker_type == 'process':
             pool = self._process_pool()
+        elif self.num_workers == 0:
+            pool = _SyncPool()
         else:
             pool = ThreadPoolExecutor(max_workers=self.num_workers)
 

@@ -83,6 +83,26 @@ class InferenceEngine:
         return build_mask(masks, self.size, image.shape[:2],
                           self.threshold, self.overlap)
 
+    def predict_images(self, images):
+        """Batched tiled inference over SEVERAL images: all images'
+        tiles are concatenated into one crop stream and pushed through
+        the bucketed forward together, then split back and stitched
+        per image. With a backlog of small images this fills the fixed
+        bucket (and the device) instead of padding each image's few
+        tiles separately -- used by patchgan_serve --batch."""
+        images = [np.asarray(im, dtype=np.float32) for im in images]
+        crops_list = [n_crop(im, self.size, self.overlap)
+                      for im in images]
+        counts = [c.shape[0] for c in crops_list]
+        masks = self.predict_tiles(np.concatenate(crops_list, axis=0))
+        out, off = [], 0
+        for im, cnt in zip(images, counts):
+            out.append(build_mask(masks[off:off + cnt], self.size,
+                                  im.shape[:2], self.threshold,
+                                  self.overlap))
+            off += cnt
+        return out
+
     def predict_image_spatial(self, image):
         """Whole-image forward, spatially sharded over the mesh."""
         import jax.numpy as jnp
@@ -99,6 +119,15 @@ class InferenceEngine:
             x = jax.device_put(
                 padded, NamedSharding(self.mesh, P(None, 'data')))
         else:
+            if self.mesh is not None and self.n_devices > 1:
+                # loud fallback: silently running 1/n_devices as fast
+                # would cost a user minutes of head-scratching
+                import warnings
+                warnings.warn(
+                    f"spatial inference: padded height {ph} does not "
+                    f"divide across the {self.n_devices}-device mesh; "
+                    f"falling back to a SINGLE-device whole-image "
+                    f"forward", stacklevel=2)
             x = jnp.asarray(padded)
         probs = np.asarray(self._forward(self.g_params, x))[0, :h, :w]
 

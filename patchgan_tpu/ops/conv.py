@@ -37,19 +37,33 @@ from jax import lax
 _SEGREGATED_DEFAULT = os.environ.get('PATCHGAN_SEGREGATED_CONVT',
                                      'off') == 'on'
 
+# transpose-free tap-dot weight gradients (ops/wgrad.py): replaces the
+# conv-wgrad-as-conv lowering (which transposes every activation to the
+# {3,0,2,1} layout, 76% of the round-2 step timeline) with per-tap
+# dot_generals in native NHWC layout. PATCHGAN_DOT_WGRAD=on|off.
+_DOT_WGRAD_DEFAULT = os.environ.get('PATCHGAN_DOT_WGRAD', 'off') == 'on'
+
 _DIMS = ('NHWC', 'HWIO', 'NHWC')
 
 
-def conv2d(x, w, stride=2, padding=1, bias=None, x2=None):
+def conv2d(x, w, stride=2, padding=1, bias=None, x2=None,
+           dot_wgrad=None):
     """2-D convolution, NHWC input, HWIO kernel.
 
     Matches torch Conv2d(kernel, stride, padding) geometry. If ``x2`` is
     given, behaves as conv(concat([x, x2], axis=-1), w).
+    ``dot_wgrad`` (default: PATCHGAN_DOT_WGRAD env) swaps in the
+    transpose-free tap-dot weight gradient (ops/wgrad.py).
     """
     pad = [(padding, padding), (padding, padding)]
     strides = (stride, stride)
+    if dot_wgrad is None:
+        dot_wgrad = _DOT_WGRAD_DEFAULT
 
     def one(inp, ker):
+        if dot_wgrad:
+            from .wgrad import conv2d_dw
+            return conv2d_dw(inp, ker, stride, padding)
         return lax.conv_general_dilated(
             inp, ker.astype(inp.dtype), window_strides=strides,
             padding=pad, dimension_numbers=_DIMS)
@@ -66,7 +80,7 @@ def conv2d(x, w, stride=2, padding=1, bias=None, x2=None):
 
 
 def conv_transpose2d(x, w, stride=2, padding=1, bias=None, x2=None,
-                     segregated=None):
+                     segregated=None, dot_wgrad=None):
     """2-D transposed convolution, NHWC input, pre-flipped HWIO kernel.
 
     Matches torch ConvTranspose2d(k, stride, padding) geometry:
@@ -88,6 +102,8 @@ def conv_transpose2d(x, w, stride=2, padding=1, bias=None, x2=None,
     k = w.shape[0]
     if segregated is None:
         segregated = _SEGREGATED_DEFAULT
+    if dot_wgrad is None:
+        dot_wgrad = _DOT_WGRAD_DEFAULT
     if segregated and k == 4 and stride == 2 and padding == 1:
         out = _conv_transpose_segregated(x, w, x2)
     else:
@@ -95,6 +111,9 @@ def conv_transpose2d(x, w, stride=2, padding=1, bias=None, x2=None,
         pad = [(p, p), (p, p)]
 
         def one(inp, ker):
+            if dot_wgrad:
+                from .wgrad import conv_transpose2d_dw
+                return conv_transpose2d_dw(inp, ker, stride, padding)
             return lax.conv_general_dilated(
                 inp, ker.astype(inp.dtype), window_strides=(1, 1),
                 padding=pad, lhs_dilation=(stride, stride),

@@ -29,6 +29,7 @@ a module-global device) is structurally impossible here; Q4
 """
 
 import os
+import re
 import time
 from collections import defaultdict
 
@@ -450,11 +451,17 @@ class Trainer:
     def _save_step_state(self, epoch, batches_done, loader_epoch=None):
         """Rolling mid-epoch checkpoint (preemption safety): the full
         TrainState plus progress metadata, overwritten each time so disk
-        stays bounded. Crash-atomic: msgpack goes through tmp+rename;
-        orbax alternates between two slot directories so the slot the
-        metadata points at is never the one being rewritten; the
-        metadata is written LAST, so a crash mid-save always leaves a
-        consistent (metadata -> intact state) pair.
+        stays bounded. Crash-atomic: BOTH formats alternate between two
+        slot files/directories so the slot the metadata points at is
+        never the one being rewritten (single-file tmp+rename alone is
+        not enough: a crash between the state rename and the metadata
+        rename would leave old metadata naming a file that already
+        holds newer state, and resume would skip one batch too few);
+        the metadata is written LAST, so a crash mid-save always leaves
+        a consistent (metadata -> intact state) pair. On resume,
+        _check_step_state re-seeds the slot flip-flop from the metadata
+        so the first post-resume save never rewrites the slot the
+        metadata points at (chained preemptions stay safe).
 
         ``loader_epoch`` records which DataLoader iteration epoch
         ``epoch`` consumes, so a CHAINED resume (resume of a resumed
@@ -462,18 +469,19 @@ class Trainer:
         iterations == calendar epochs."""
         import json
 
+        self._step_slot = 'b' if getattr(self, '_step_slot', 'b') \
+            == 'a' else 'a'
         if self.checkpoint_format == 'orbax':
             from ..utils import orbax_ckpt
-            self._step_slot = 'b' if getattr(self, '_step_slot', 'b') \
-                == 'a' else 'a'
             state_path = os.path.join(
                 self.savefolder, f'step_state_{self._step_slot}.orbax')
             orbax_ckpt.save_async(state_path, self.state)
             orbax_ckpt.wait()  # metadata must not precede the bytes
         else:
             import flax.serialization
-            state_path = os.path.join(self.savefolder,
-                                      'training_state_step.msgpack')
+            state_path = os.path.join(
+                self.savefolder,
+                f'training_state_step_{self._step_slot}.msgpack')
             tmp = state_path + '.tmp'
             with open(tmp, 'wb') as f:
                 f.write(flax.serialization.to_bytes(
@@ -507,6 +515,12 @@ class Trainer:
             self.start = int(meta['epoch'])
             self._resume_skip_batches = int(meta['batches_done'])
             self._resume_loader_epoch = meta.get('loader_epoch')
+            # re-seed the two-slot flip-flop from the surviving slot so
+            # the next _save_step_state writes the OTHER slot (never
+            # the one the metadata still points at)
+            slot = re.search(r'_([ab])\.(orbax|msgpack)$', meta['state'])
+            if slot:
+                self._step_slot = slot.group(1)
             print(f"Found mid-epoch checkpoint: epoch {self.start}, "
                   f"{self._resume_skip_batches} batches done")
         except Exception as e:

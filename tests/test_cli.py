@@ -277,6 +277,7 @@ def test_serve_cli_watch_once_and_idempotent(coco_tree, capsys):
     }
     serve_path = write_config(coco_tree, serve_cfg, 'serve.yaml')
     n = patchgan_serve(['-c', serve_path, '--once', '--dtype', 'float32',
+                        '--no-warmup',
                         '--watch', str(coco_tree / 'val' / 'images')])
     assert n == 4
     masks = sorted(os.listdir(coco_tree / 'served'))
@@ -286,5 +287,50 @@ def test_serve_cli_watch_once_and_idempotent(coco_tree, capsys):
 
     capsys.readouterr()
     n = patchgan_serve(['-c', serve_path, '--once', '--dtype', 'float32',
+                        '--no-warmup',
                         '--watch', str(coco_tree / 'val' / 'images')])
     assert n == 0  # idempotent: everything already served
+
+
+def test_serve_cli_batch_warmup_and_corrupt_file(coco_tree, capsys):
+    """Round-3 serve hardening: startup warmup compiles before the
+    first request, --batch groups the backlog through one bucketed
+    forward, and a corrupt image is logged + skipped instead of
+    crashing the service (ADVICE r2)."""
+    import shutil
+
+    from patchgan_tpu.cli.serve import patchgan_serve
+
+    cfg = nested_config(coco_tree)
+    cfg_path = write_config(coco_tree, cfg)
+    patchgan_train(['-c', cfg_path, '-n', '1', '-b', '4',
+                    '--dtype', 'float32', '--no-summary'])
+
+    watch_dir = coco_tree / 'watch'
+    watch_dir.mkdir()
+    for f in sorted(os.listdir(coco_tree / 'val' / 'images'))[:3]:
+        shutil.copy(coco_tree / 'val' / 'images' / f, watch_dir / f)
+    # a corrupt "jpeg" in the middle of the backlog
+    (watch_dir / '00000000000a.jpg').write_bytes(b'not a jpeg')
+
+    serve_cfg = {
+        'dataset': {'type': 'COCOStuff', 'size': SIZE, 'labels': [1, 2]},
+        'model_params': cfg['model_params'],
+        'checkpoint_paths': {
+            'generator': os.path.join(cfg['checkpoint_path'],
+                                      'generator_ep_001.npz'),
+        },
+        'infer_params': {
+            'output_path': str(coco_tree / 'served_b'),
+            'threshold': 0.5, 'overlap': 0.9,
+        },
+    }
+    serve_path = write_config(coco_tree, serve_cfg, 'serve_b.yaml')
+    n = patchgan_serve(['-c', serve_path, '--once', '--dtype', 'float32',
+                        '--watch', str(watch_dir), '--batch', '4'])
+    out = capsys.readouterr().out
+    assert 'warmup:' in out
+    assert 'ERROR' in out and '00000000000a' in out
+    assert n == 3  # the three good images, despite the corrupt one
+    assert 'batch 3' in out  # grouped through one bucketed forward
+    assert len(os.listdir(coco_tree / 'served_b')) == 3

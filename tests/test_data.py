@@ -289,6 +289,71 @@ def test_loader_host_slices_tile_the_global_batch(coco_dir):
         np.testing.assert_array_equal(np.asarray(yf), yc)
 
 
+class _MemRawDS:
+    """In-memory raw-protocol dataset (sized for remainder tests)."""
+    labels = [1]
+    augmentation = 'randomcrop'
+
+    def __init__(self, n, size=16):
+        rng = np.random.default_rng(1)
+        self.imgs = rng.uniform(size=(n, size, size, 3)) \
+            .astype(np.float32)
+        self.maps = rng.integers(1, 2, size=(n, size, size)) \
+            .astype(np.int32)
+
+    def __len__(self):
+        return len(self.imgs)
+
+    def load_raw(self, i):
+        return self.imgs[i], self.maps[i]
+
+
+def test_loader_remainder_through_real_assembly(capsys):
+    """drop_last=False remainders under per-host sharding run through
+    the REAL make_array_from_process_local_data assembly, which
+    requires the global batch to divide the mesh's batch-axis device
+    count — a keepable remainder (8 over 8 devices) must assemble, an
+    unkeepable one (5 over 8) must be dropped with a warning instead
+    of crashing (ADVICE r2: the tail batch used to crash multi-host)."""
+    import jax
+    from patchgan_tpu.parallel.mesh import default_mesh
+    mesh = default_mesh()
+    n_dev = len(jax.devices())
+
+    keep = DataLoader(_MemRawDS(16 + n_dev), batch_size=16,
+                      shuffle=False, drop_last=False, num_workers=1,
+                      mesh=mesh, process_count=1)
+    assert len(keep) == 2
+    batches = list(keep)
+    assert [np.shape(b[0])[0] for b in batches] == [16, n_dev]
+    # the remainder really went through the per-host assembly
+    assert len(batches[1][0].sharding.device_set) == n_dev
+
+    drop = DataLoader(_MemRawDS(16 + 5), batch_size=16, shuffle=False,
+                      drop_last=False, num_workers=1, mesh=mesh,
+                      process_count=1)
+    assert len(drop) == 1
+    assert [np.shape(b[0])[0] for b in drop] == [16]
+    assert 'dropping the 5-sample remainder' in capsys.readouterr().out
+
+
+def test_loader_zero_workers_synchronous(coco_dir):
+    """num_workers=0 decodes inline in the producer thread and yields
+    the same batches as the threaded pool."""
+    ds = COCOStuffDataset(*coco_dir, labels=[1, 2], size=32,
+                          augmentation='randomcrop')
+    sync = DataLoader(ds, batch_size=4, shuffle=True, num_workers=0,
+                      seed=9)
+    pooled = DataLoader(ds, batch_size=4, shuffle=True, num_workers=2,
+                        seed=9)
+    for (x0, y0), (x1, y1) in zip(sync, pooled):
+        np.testing.assert_array_equal(np.asarray(x0), np.asarray(x1))
+        np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+    with pytest.raises(ValueError, match='synchronous'):
+        DataLoader(ds, batch_size=4, num_workers=0,
+                   worker_type='process')
+
+
 def test_loader_per_host_requires_mesh_and_divisibility(coco_dir):
     ds = COCOStuffDataset(*coco_dir, labels=[1], size=32,
                           augmentation='randomcrop')
@@ -343,24 +408,32 @@ def test_loader_process_workers_reject_cache(coco_dir):
 
 def test_loader_per_host_remainder_accounting(coco_dir):
     """An un-shardable remainder batch is dropped consistently: both
-    __len__ and iteration see the same batch count (no silent desync)."""
+    __len__ and iteration see the same batch count (no silent desync).
+    Divisibility is against lcm(hosts, mesh batch-axis devices) — a
+    remainder that divides the hosts but NOT the 8-device mesh would
+    crash make_array_from_process_local_data (ADVICE r2), so it is
+    dropped too."""
     from patchgan_tpu.parallel.mesh import default_mesh
     ds = COCOStuffDataset(*coco_dir, labels=[1, 2, 3], size=32,
                           augmentation='randomcrop')
     ld = DataLoader(ds, batch_size=6, shuffle=False, drop_last=False,
                     num_workers=2, mesh=default_mesh(),
                     process_index=0, process_count=2)
+    # identity assembly: index-accounting only (one process cannot own
+    # half the devices; the REAL assembly path is covered by
+    # test_loader_remainder_through_real_assembly)
     ld._assemble_global = lambda arrays, n: arrays
-    # 8 images, batch 6 -> one full batch + a 2-sample remainder that
-    # DOES divide across 2 hosts -> kept
-    assert len(ld) == 2
-    assert sum(1 for _ in ld) == 2
+    # 8 images, batch 6 -> a 2-sample remainder divides the 2 hosts but
+    # not the 8-device mesh batch axis -> dropped from BOTH
+    assert ld._batch_divisor() == 8
+    assert len(ld) == 1
+    assert sum(1 for _ in ld) == 1
     ld5 = DataLoader(ds, batch_size=5, shuffle=False, drop_last=False,
                      num_workers=2, mesh=default_mesh(),
                      process_index=0, process_count=5)
     ld5._assemble_global = lambda arrays, n: arrays
     # 8 images, batch 5 -> 3-sample remainder cannot divide across 5
-    # hosts -> dropped from BOTH len and iteration
+    # hosts (nor lcm(5,8)=40) -> dropped from BOTH len and iteration
     assert len(ld5) == 1
     assert sum(1 for _ in ld5) == 1
 

@@ -126,3 +126,54 @@ def test_conv_transpose_segregated_matches_dilated(rng):
     dil = conv_transpose2d(x, w2, x2=x2, segregated=False)
     np.testing.assert_allclose(np.asarray(seg), np.asarray(dil),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_dot_wgrad_conv_matches_autodiff(rng):
+    """The tap-dot weight gradient (ops/wgrad.py, PATCHGAN_DOT_WGRAD)
+    must produce the same value AND gradients as autodiff of the plain
+    conv lowering — for the strided conv, the transposed conv, and the
+    fused-concat (x2) paths."""
+    import jax
+    import jax.numpy as jnp
+
+    x = rng.normal(size=(2, 8, 6, 5)).astype(np.float32)
+    x2 = rng.normal(size=(2, 8, 6, 3)).astype(np.float32)
+    w = rng.normal(size=(4, 4, 8, 7)).astype(np.float32) * 0.1
+    dy_seed = rng.normal(size=(1,)).astype(np.float32)  # noqa: F841
+
+    def loss(fn):
+        def f(x, x2, w):
+            out = fn(x, w, x2=x2)
+            return jnp.sum(out * jnp.cos(out))  # non-trivial cotangent
+        return jax.value_and_grad(f, argnums=(0, 1, 2))
+
+    for op in (conv2d, conv_transpose2d):
+        ref_v, ref_g = loss(lambda x, w, x2: op(x, w, x2=x2,
+                                                dot_wgrad=False))(x, x2, w)
+        got_v, got_g = loss(lambda x, w, x2: op(x, w, x2=x2,
+                                                dot_wgrad=True))(x, x2, w)
+        np.testing.assert_allclose(got_v, ref_v, rtol=1e-5)
+        for r, g, name in zip(ref_g, got_g, ('dx', 'dx2', 'dw')):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(r), rtol=1e-4, atol=1e-5,
+                err_msg=f'{op.__name__} {name}')
+
+
+def test_dot_wgrad_strided_and_nonsquare(rng):
+    """Tap-dot wgrad at a non-default geometry (stride 1, non-square
+    spatial dims) — the tap slicing must stay exact."""
+    import jax
+    import jax.numpy as jnp
+
+    x = rng.normal(size=(3, 9, 5, 4)).astype(np.float32)
+    w = rng.normal(size=(4, 4, 4, 6)).astype(np.float32) * 0.1
+
+    def f(flag):
+        def g(x, w):
+            return jnp.sum(conv2d(x, w, stride=2, padding=1,
+                                  dot_wgrad=flag) ** 2)
+        return jax.grad(g, argnums=(0, 1))(x, w)
+
+    for r, got in zip(f(False), f(True)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(r),
+                                   rtol=1e-4, atol=1e-5)

@@ -290,7 +290,8 @@ def test_step_checkpoint_writes_rolling_state(tmp_path, rng):
     data = synth_loader(rng, 4, 2)
     trainer.train(data, data[:1], epochs=1, save_freq=10)
     folder = trainer.savefolder
-    assert os.path.exists(f'{folder}training_state_step.msgpack')
+    assert os.path.exists(f'{folder}training_state_step_a.msgpack') or \
+        os.path.exists(f'{folder}training_state_step_b.msgpack')
     import json
     # the end-of-epoch completion marker supersedes the mid-epoch
     # entries: "epoch 2, nothing done" -> a crash between epochs
@@ -438,6 +439,43 @@ def test_chained_preemption_resume_matches_uninterrupted(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(ref_params),
                     jax.tree_util.tree_leaves(got)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize('fmt', ['msgpack', 'orbax'])
+def test_step_checkpoint_slots_never_rewrite_live_slot(tmp_path, rng, fmt):
+    """Chained-preemption safety: every _save_step_state must write the
+    slot the CURRENT metadata does NOT point at — including the first
+    save after a resume (the flip-flop is re-seeded from the metadata;
+    before that fix the first post-resume save could rewrite the live
+    slot, and a crash during it would lose the only good checkpoint)."""
+    import json
+
+    def live_slot(folder):
+        with open(os.path.join(folder, 'step_state.json')) as f:
+            return json.load(f)['state']
+
+    pre = make_trainer(tmp_path)
+    pre.checkpoint_format = fmt
+    pre.save_every_steps = 1
+    batches = synth_loader(rng, 4, 2)
+    with pytest.raises(KeyboardInterrupt):
+        pre.train(PreemptibleLoader(batches, fail_at=3), [], epochs=1,
+                  save_freq=10)
+    folder = pre.savefolder
+    first = live_slot(folder)
+
+    cont = make_trainer(tmp_path, seed=3)
+    cont.checkpoint_format = fmt
+    cont.save_every_steps = 1
+    cont.load_last_checkpoint()
+    # the next save must target the OTHER slot
+    cont._save_step_state(1, 3)
+    second = live_slot(folder)
+    assert first != second, (
+        f"post-resume save rewrote the live slot {first}")
+    # and both slot files exist on disk afterwards
+    for name in (first, second):
+        assert os.path.exists(os.path.join(folder, name))
 
 
 def test_step_checkpoint_torn_metadata_is_ignored(tmp_path, capsys):
