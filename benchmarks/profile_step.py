@@ -61,8 +61,11 @@ CATEGORIES = [
     # 'convolution' must NOT match 'convert' (dtype casts) -- that
     # would inflate the conv share this tool exists to isolate
     ('convolution', re.compile(r'convolution|\bdot\b', re.I)),
-    ('copy/transpose', re.compile(r'copy|transpose|bitcast|convert',
-                                  re.I)),
+    # data movement, split three ways so the round-3 wgrad work can be
+    # attributed: layout transposes vs dtype casts vs plain copies
+    ('transpose', re.compile(r'transpose', re.I)),
+    ('convert', re.compile(r'convert', re.I)),
+    ('copy', re.compile(r'copy|bitcast', re.I)),
     ('all-reduce', re.compile(r'all-reduce|reduce-scatter|all-gather',
                               re.I)),
     ('fusion (norm/elementwise/opt)', re.compile(r'fusion|reduce', re.I)),

@@ -25,19 +25,22 @@ from benchmarks._timing import diff_time  # noqa: E402
 SIZE = 256
 DEEP = ('enc4', 'enc5', 'enc6', 'dec0', 'dec1', 'dec2')
 
-# name: (fused_conv_mode, remat, grad_dtype)
+# name: (fused_conv_mode, remat, grad_dtype, dot_wgrad)
 VARIANTS = {
-    'xla': ('off', False, None),
-    'fused': ('auto', False, None),
-    'remat_deep': ('off', DEEP, None),
-    'fused+remat_deep': ('auto', DEEP, None),
-    'gradbf16': ('off', False, 'bf16'),
-    'all': ('auto', DEEP, 'bf16'),
+    'xla': ('off', False, None, 'off'),
+    'fused': ('auto', False, None, 'off'),
+    'remat_deep': ('off', DEEP, None, 'off'),
+    'fused+remat_deep': ('auto', DEEP, None, 'off'),
+    'gradbf16': ('off', False, 'bf16', 'off'),
+    'all': ('auto', DEEP, 'bf16', 'off'),
+    # transpose-free tap-dot conv weight gradients (ops/wgrad.py)
+    'dot_wgrad': ('off', False, None, 'on'),
 }
 
 
-def build(fused_mode, remat, grad_dtype, batch):
+def build(fused_mode, remat, grad_dtype, batch, dot_wgrad='off'):
     os.environ['PATCHGAN_FUSED_CONV'] = fused_mode
+    os.environ['PATCHGAN_DOT_WGRAD'] = dot_wgrad
     from patchgan_tpu.models import Discriminator, UNet
     from patchgan_tpu.train.steps import (init_train_state, make_optimizer,
                                           make_train_step)
@@ -85,11 +88,18 @@ def main():
 
     arms = {}
     for name in names:
-        fused_mode, remat, gd = VARIANTS[name]
-        state, scan_of = build(fused_mode, remat, gd, args.batch)
+        fused_mode, remat, gd, dwg = VARIANTS[name]
+        state, scan_of = build(fused_mode, remat, gd, args.batch, dwg)
         rs, rl = scan_of(args.short), scan_of(args.long)
+        # trace + compile BOTH scans NOW, while this variant's env flags
+        # (PATCHGAN_FUSED_CONV / PATCHGAN_DOT_WGRAD, read at trace time)
+        # are still set: deferring the long scan's first call to
+        # diff_time's warmup would trace it under the LAST variant's
+        # env, silently corrupting cross-env A/Bs
         g = float(rs(state))
         assert np.isfinite(g), (name, 'short', g)
+        g = float(rl(state))
+        assert np.isfinite(g), (name, 'long', g)
         arms[name] = (lambda r=rs, s=state: r(s),
                       lambda r=rl, s=state: r(s))
 

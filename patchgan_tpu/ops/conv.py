@@ -40,8 +40,13 @@ _SEGREGATED_DEFAULT = os.environ.get('PATCHGAN_SEGREGATED_CONVT',
 # transpose-free tap-dot weight gradients (ops/wgrad.py): replaces the
 # conv-wgrad-as-conv lowering (which transposes every activation to the
 # {3,0,2,1} layout, 76% of the round-2 step timeline) with per-tap
-# dot_generals in native NHWC layout. PATCHGAN_DOT_WGRAD=on|off.
-_DOT_WGRAD_DEFAULT = os.environ.get('PATCHGAN_DOT_WGRAD', 'off') == 'on'
+# dot_generals in native NHWC layout. PATCHGAN_DOT_WGRAD=on|off, read
+# per trace so benchmark harnesses can A/B variants in one process.
+
+
+def _dot_wgrad_default():
+    return os.environ.get('PATCHGAN_DOT_WGRAD', 'off') == 'on'
+
 
 _DIMS = ('NHWC', 'HWIO', 'NHWC')
 
@@ -58,7 +63,7 @@ def conv2d(x, w, stride=2, padding=1, bias=None, x2=None,
     pad = [(padding, padding), (padding, padding)]
     strides = (stride, stride)
     if dot_wgrad is None:
-        dot_wgrad = _DOT_WGRAD_DEFAULT
+        dot_wgrad = _dot_wgrad_default()
 
     def one(inp, ker):
         if dot_wgrad:
@@ -103,7 +108,7 @@ def conv_transpose2d(x, w, stride=2, padding=1, bias=None, x2=None,
     if segregated is None:
         segregated = _SEGREGATED_DEFAULT
     if dot_wgrad is None:
-        dot_wgrad = _DOT_WGRAD_DEFAULT
+        dot_wgrad = _dot_wgrad_default()
     if segregated and k == 4 and stride == 2 and padding == 1:
         out = _conv_transpose_segregated(x, w, x2)
     else:

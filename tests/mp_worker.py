@@ -70,7 +70,7 @@ def main():
         labels = [1]
         augmentation = 'randomcrop'  # no flips: decode is the variable
 
-        def __init__(self, n=8, size=128):
+        def __init__(self, n=16, size=128):
             rng = np.random.default_rng(42)
             self.imgs = rng.uniform(size=(n, size, size, 3)) \
                 .astype(np.float32)
@@ -87,7 +87,9 @@ def main():
 
     mesh = default_mesh()
     ds = SeededRawDS()
-    loader = DataLoader(ds, batch_size=4, shuffle=True, num_workers=1,
+    # global batch 8 = the full 'data' axis (it must divide the mesh's
+    # batch-sharded device count; see DataLoader._batch_divisor)
+    loader = DataLoader(ds, batch_size=8, shuffle=True, num_workers=1,
                         mesh=mesh, seed=5)
     assert (loader.process_count or 1) == nproc
 

@@ -72,10 +72,10 @@ def test_two_process_cluster_matches_single_process(tmp_path):
     # every process of the cluster observed the same (global) losses
     np.testing.assert_array_equal(r2[0]['losses'], r2[1]['losses'])
     # and they equal the single-controller ground truth
-    assert len(r1[0]['losses']) == 2  # 8 imgs / batch 4
+    assert len(r1[0]['losses']) == 2  # 16 imgs / batch 8
     np.testing.assert_allclose(r2[0]['losses'], r1[0]['losses'],
                                rtol=1e-5)
     # per-host decode really was sharded: each process decoded exactly
     # half of every batch; the reference decoded everything
-    assert r2[0]['decoded'] == r2[1]['decoded'] == 4
-    assert r1[0]['decoded'] == 8
+    assert r2[0]['decoded'] == r2[1]['decoded'] == 8
+    assert r1[0]['decoded'] == 16
