@@ -29,6 +29,17 @@ conv like the forward pass; it does not trigger the wgrad transposes).
 Enabled with PATCHGAN_DOT_WGRAD=on (measured A/B on v5e in
 BENCHMARKS.md round-3); reference has no analog (single cuDNN backend,
 /root/reference/patchgan/unet.py:19).
+
+TINY-DIM GATE: on TPU v5e (libtpu current as of round 3) the
+strided-slice + dot_general tap pattern at tiny cotangent grids
+returns a silently WRONG dw at a 2x2 grid (relerr ~6, batch 16) and
+can hard-crash the TPU worker process outright at 16x4x4x512->512
+(repro: benchmarks/repro_tapdot_tiny.py). It is bit-exact at an 8x8
+grid and above. The tap-dot path therefore engages only when the
+sliced tap grid is >= _MIN_TAP_GRID per side; smaller layers keep the
+standard conv-lowered weight gradient, whose transposes are negligible
+at those sizes (a 16x8x8x512 bf16 activation is 1 MiB — the round-2
+trace's transpose cost lives in the 32px-256px layers).
 """
 
 from functools import partial
@@ -38,6 +49,10 @@ import jax.numpy as jnp
 from jax import lax
 
 _DIMS = ('NHWC', 'HWIO', 'NHWC')
+
+# smallest per-side tap grid the TPU executes correctly (see module
+# docstring; failures observed at 2 and 4, exact at 8)
+_MIN_TAP_GRID = 8
 
 
 def _tap_dot_wgrad(lhs, dy, k, stride, padding, out_dtype):
@@ -62,10 +77,24 @@ def _tap_dot_wgrad(lhs, dy, k, stride, padding, out_dtype):
     return dw.astype(out_dtype)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def conv2d_dw(x, w, stride, padding):
-    """Forward-identical to the plain strided correlation; backward
-    computes dw with tap-dots instead of a transposing conv."""
+    """Strided correlation whose backward computes dw with tap-dots
+    instead of a transposing conv — when the tap grid is large enough
+    for the TPU to execute it correctly (module docstring); tiny
+    layers keep the plain lowering (autodiff conv wgrad)."""
+    k = w.shape[0]
+    ho = (x.shape[1] + 2 * padding - k) // stride + 1
+    wo = (x.shape[2] + 2 * padding - k) // stride + 1
+    if min(ho, wo) < _MIN_TAP_GRID:
+        return lax.conv_general_dilated(
+            x, w.astype(x.dtype), window_strides=(stride, stride),
+            padding=[(padding, padding), (padding, padding)],
+            dimension_numbers=_DIMS)
+    return _conv2d_dw(x, w, stride, padding)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _conv2d_dw(x, w, stride, padding):
     return lax.conv_general_dilated(
         x, w.astype(x.dtype), window_strides=(stride, stride),
         padding=[(padding, padding), (padding, padding)],
@@ -73,7 +102,7 @@ def conv2d_dw(x, w, stride, padding):
 
 
 def _conv2d_dw_fwd(x, w, stride, padding):
-    return conv2d_dw(x, w, stride, padding), (x, w)
+    return _conv2d_dw(x, w, stride, padding), (x, w)
 
 
 def _conv2d_dw_bwd(stride, padding, res, dy):
@@ -98,13 +127,27 @@ def _conv2d_dw_bwd(stride, padding, res, dy):
     return dx.astype(x.dtype), dw
 
 
-conv2d_dw.defvjp(_conv2d_dw_fwd, _conv2d_dw_bwd)
+_conv2d_dw.defvjp(_conv2d_dw_fwd, _conv2d_dw_bwd)
+
+
+def conv_transpose2d_dw(x, w, stride, padding):
+    """Transposed conv (pre-flipped HWIO kernel, ops/conv.py layout
+    convention) with the tap-dot weight gradient. The convT tap grid
+    is the INPUT's spatial extent (dw contracts x against strided
+    slices of the padded cotangent), so the tiny-dim gate keys on
+    x.shape — the deep 2x2/4x4 UpBlocks keep the plain lowering."""
+    k = w.shape[0]
+    if min(x.shape[1], x.shape[2]) < _MIN_TAP_GRID:
+        p = k - 1 - padding
+        return lax.conv_general_dilated(
+            x, w.astype(x.dtype), window_strides=(1, 1),
+            padding=[(p, p), (p, p)], lhs_dilation=(stride, stride),
+            dimension_numbers=_DIMS)
+    return _conv_transpose2d_dw(x, w, stride, padding)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def conv_transpose2d_dw(x, w, stride, padding):
-    """Transposed conv (pre-flipped HWIO kernel, ops/conv.py layout
-    convention) with the tap-dot weight gradient."""
+def _conv_transpose2d_dw(x, w, stride, padding):
     k = w.shape[0]
     p = k - 1 - padding
     return lax.conv_general_dilated(
@@ -114,7 +157,7 @@ def conv_transpose2d_dw(x, w, stride, padding):
 
 
 def _convt2d_dw_fwd(x, w, stride, padding):
-    return conv_transpose2d_dw(x, w, stride, padding), (x, w)
+    return _conv_transpose2d_dw(x, w, stride, padding), (x, w)
 
 
 def _convt2d_dw_bwd(stride, padding, res, dy):
@@ -138,4 +181,4 @@ def _convt2d_dw_bwd(stride, padding, res, dy):
     return dx.astype(x.dtype), dw.astype(w.dtype)
 
 
-conv_transpose2d_dw.defvjp(_convt2d_dw_fwd, _convt2d_dw_bwd)
+_conv_transpose2d_dw.defvjp(_convt2d_dw_fwd, _convt2d_dw_bwd)

@@ -159,6 +159,36 @@ def test_dot_wgrad_conv_matches_autodiff(rng):
                 err_msg=f'{op.__name__} {name}')
 
 
+def test_dot_wgrad_tiny_dims_gate(rng):
+    """Tap grids below ops/wgrad._MIN_TAP_GRID must route to the plain
+    conv lowering (the TPU miscompiles/crashes tiny tap grids —
+    benchmarks/repro_tapdot_tiny.py): the jaxpr of the backward must
+    contain no dot_general, and values/grads still match autodiff."""
+    import jax
+    import jax.numpy as jnp
+
+    x = rng.normal(size=(2, 4, 4, 5)).astype(np.float32)   # ho=2 < 8
+    w = rng.normal(size=(4, 4, 5, 7)).astype(np.float32) * 0.1
+
+    def g(flag):
+        def f(x, w):
+            return jnp.sum(conv2d(x, w, dot_wgrad=flag) ** 2)
+        return f
+
+    jaxpr = jax.make_jaxpr(jax.grad(g(True), argnums=(0, 1)))(x, w)
+    assert 'dot_general' not in str(jaxpr), \
+        'tiny tap grid must not lower to tap-dots'
+    for r, got in zip(jax.grad(g(False), argnums=(0, 1))(x, w),
+                      jax.grad(g(True), argnums=(0, 1))(x, w)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(r),
+                                   rtol=1e-4, atol=1e-5)
+
+    # ... and a grid >= the gate still takes the tap-dot path
+    x8 = rng.normal(size=(2, 16, 16, 5)).astype(np.float32)  # ho=8
+    jaxpr8 = jax.make_jaxpr(jax.grad(g(True), argnums=(0, 1)))(x8, w)
+    assert 'dot_general' in str(jaxpr8)
+
+
 def test_dot_wgrad_strided_and_nonsquare(rng):
     """Tap-dot wgrad at a non-default geometry (stride 1, non-square
     spatial dims) — the tap slicing must stay exact."""
