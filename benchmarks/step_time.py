@@ -25,20 +25,35 @@ from benchmarks._timing import diff_time  # noqa: E402
 SIZE = 256
 DEEP = ('enc4', 'enc5', 'enc6', 'dec0', 'dec1', 'dec2')
 
-# name: (fused_conv_mode, remat, grad_dtype, dot_wgrad)
+# name: (fused_conv_mode, remat, grad_dtype, dot_wgrad, auto_layout,
+#        unroll)
 VARIANTS = {
-    'xla': ('off', False, None, 'off'),
-    'fused': ('auto', False, None, 'off'),
-    'remat_deep': ('off', DEEP, None, 'off'),
-    'fused+remat_deep': ('auto', DEEP, None, 'off'),
-    'gradbf16': ('off', False, 'bf16', 'off'),
-    'all': ('auto', DEEP, 'bf16', 'off'),
+    'xla': ('off', False, None, 'off', False, 1),
+    'fused': ('auto', False, None, 'off', False, 1),
+    'remat_deep': ('off', DEEP, None, 'off', False, 1),
+    'fused+remat_deep': ('auto', DEEP, None, 'off', False, 1),
+    'gradbf16': ('off', False, 'bf16', 'off', False, 1),
+    'all': ('auto', DEEP, 'bf16', 'off', False, 1),
     # transpose-free tap-dot conv weight gradients (ops/wgrad.py)
-    'dot_wgrad': ('off', False, None, 'on'),
+    'dot_wgrad': ('off', False, None, 'on', False, 1),
+    # XLA-chosen boundary layouts for the train state (AUTO): does the
+    # eager-dispatch win (benchmarks/layout_probe.py, ~9%) survive the
+    # scan carry, i.e. does layout assignment propagate the parameter
+    # layouts into the while-loop body? (Measured: NO — 15.09 vs
+    # 15.11 ms, the carry pins the loop-boundary layouts either way.)
+    'auto_layout': ('off', False, None, 'off', True, 1),
+    # lax.scan unroll: N step bodies per while-loop iteration, so the
+    # carry-boundary relayouts (the scan-mode analogue of the eager
+    # boundary copies layout_probe kills) amortise over N steps and
+    # XLA can chain step i's param layouts straight into step i+1
+    'unroll2': ('off', False, None, 'off', False, 2),
+    'unroll3': ('off', False, None, 'off', False, 3),
+    'unroll6': ('off', False, None, 'off', False, 6),
 }
 
 
-def build(fused_mode, remat, grad_dtype, batch, dot_wgrad='off'):
+def build(fused_mode, remat, grad_dtype, batch, dot_wgrad='off',
+          auto_layout=False, unroll=1):
     os.environ['PATCHGAN_FUSED_CONV'] = fused_mode
     os.environ['PATCHGAN_DOT_WGRAD'] = dot_wgrad
     from patchgan_tpu.models import Discriminator, UNet
@@ -64,15 +79,21 @@ def build(fused_mode, remat, grad_dtype, batch, dot_wgrad='off'):
                        .astype(np.float32))
 
     def scan_of(length):
-        @jax.jit
         def run(state):
             def body(st, _):
                 st, losses = step(st, x, y)
                 return st, losses['gen']
-            st, gens = jax.lax.scan(body, state, length=length)
+            st, gens = jax.lax.scan(body, state, length=length,
+                                    unroll=unroll)
             return gens[-1]
-        return run
-
+        if not auto_layout:
+            return jax.jit(run)
+        from jax.experimental.layout import Format, Layout
+        jitted = jax.jit(run, in_shardings=Format(Layout.AUTO))
+        compiled = jitted.lower(state).compile()
+        fmt = compiled.input_formats[0][0]
+        st_auto = jax.device_put(jax.tree.map(np.asarray, state), fmt)
+        return lambda st: compiled(st_auto)
     return state, scan_of
 
 
@@ -88,8 +109,9 @@ def main():
 
     arms = {}
     for name in names:
-        fused_mode, remat, gd, dwg = VARIANTS[name]
-        state, scan_of = build(fused_mode, remat, gd, args.batch, dwg)
+        fused_mode, remat, gd, dwg, auto, unroll = VARIANTS[name]
+        state, scan_of = build(fused_mode, remat, gd, args.batch, dwg,
+                               auto, unroll)
         rs, rl = scan_of(args.short), scan_of(args.long)
         # trace + compile BOTH scans NOW, while this variant's env flags
         # (PATCHGAN_FUSED_CONV / PATCHGAN_DOT_WGRAD, read at trace time)

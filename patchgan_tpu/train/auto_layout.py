@@ -1,0 +1,87 @@
+"""XLA-chosen (AUTO) boundary layouts for the eager train-step path.
+
+The Trainer dispatches the jitted train step eagerly, batch by batch
+(reference patchgan/trainer.py:50-115 drives torch the same way). On
+TPU, a plain ``jax.jit`` pins every parameter to XLA's default layout
+at the call boundary, but layout assignment wants ~40% of the conv
+kernels IO-swapped (``{0,1,3,2}``) for the backward convs — so every
+dispatch pays a relayout copy of those weights on entry and again on
+exit. Measured on v5e (BENCHMARKS.md round-3 entry #4): 16.16 ms/step
+default vs 14.71 ms with AUTO boundary formats = +9.5% real training
+throughput at batch 16 / 256px.
+
+``AutoLayoutStep`` compiles the step ahead-of-time with
+``Format(Layout.AUTO)`` on the donated train state (batches keep their
+incoming layouts), places the state into the chosen formats once, and
+lets donation keep it there across steps. It is a drop-in callable with
+the ``step(state, x, y) -> (state, losses)`` signature.
+
+Scan-based programs do NOT benefit: ``lax.scan`` pins its carry to
+default layouts at every loop iteration regardless of the jit-boundary
+formats (measured, BENCHMARKS.md entry #5), which is why this wrapper
+targets the eager path only.
+
+Falls back to the plain jitted step if AOT layout compilation is
+unavailable (non-XLA backends, multi-device formats) or if the
+compiled program's output state formats don't round-trip into its
+input formats (then steady-state reuse would relayout every step,
+defeating the point).
+"""
+
+import jax
+
+__all__ = ['AutoLayoutStep']
+
+
+def _formats_match(tree, fmt_tree):
+    """True iff every jax.Array leaf already has its target format."""
+    leaves = jax.tree.leaves(tree)
+    fmts = jax.tree.leaves(fmt_tree)
+    for leaf, fmt in zip(leaves, fmts):
+        got = getattr(leaf, 'format', None)
+        if got != fmt:
+            return False
+    return True
+
+
+class AutoLayoutStep:
+    """AOT-compile ``fn(state, x, y)`` with AUTO state layouts per batch
+    signature; keep the state resident in the chosen layouts."""
+
+    def __init__(self, fn, fallback):
+        self._fn = fn
+        self._fallback = fallback  # plain jitted step
+        self._cache = {}  # (x.shape, x.dtype, y.shape, y.dtype) ->
+        #                   (compiled, state_fmt) or None (= use fallback)
+
+    def _compile(self, state, x, y):
+        from jax.experimental.layout import Format, Layout
+        jitted = jax.jit(
+            self._fn, donate_argnums=(0,),
+            in_shardings=(Format(Layout.AUTO), x.format, y.format),
+            out_shardings=Format(Layout.AUTO))
+        compiled = jitted.lower(state, x, y).compile()
+        state_fmt = compiled.input_formats[0][0]
+        out_state_fmt = compiled.output_formats[0]
+        if jax.tree.leaves(out_state_fmt) != jax.tree.leaves(state_fmt):
+            # output layouts don't feed back as inputs: every step would
+            # pay a device_put — the plain path is strictly better
+            return None
+        return compiled, state_fmt
+
+    def __call__(self, state, x, y):
+        key = (x.shape, x.dtype, y.shape, y.dtype)
+        if key not in self._cache:
+            try:
+                self._cache[key] = self._compile(state, x, y)
+            except Exception:  # AOT layout path unsupported here
+                self._cache[key] = None
+        entry = self._cache[key]
+        if entry is None:
+            return self._fallback(state, x, y)
+        compiled, state_fmt = entry
+        if not _formats_match(state, state_fmt):
+            # first step, resume, or an LR epoch-update touched leaves:
+            # one relayouting device_put, then donation keeps formats
+            state = jax.device_put(state, state_fmt)
+        return compiled(state, x, y)

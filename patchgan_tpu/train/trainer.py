@@ -153,6 +153,9 @@ class Trainer:
                     tversky_gamma=self.tversky_gamma,
                     bce_weighting=self.bce_weighting)
                 jitted = jax.jit(fn, donate_argnums=(0,))
+                if self._auto_layout():
+                    from .auto_layout import AutoLayoutStep
+                    jitted = AutoLayoutStep(fn, jitted)
             else:
                 fn = make_eval_step(
                     self.generator, self.discriminator,
@@ -164,6 +167,18 @@ class Trainer:
                 jitted = jax.jit(fn)
             self._step_cache[key] = jitted
         return self._step_cache[key]
+
+    def _auto_layout(self):
+        """XLA-chosen train-state layouts for the eager step dispatch
+        (train/auto_layout.py; +9.5% measured on v5e). Default on for
+        single-device meshes; PATCHGAN_AUTO_LAYOUT=off disables. Multi-
+        device meshes keep GSPMD's layouts (the AOT format path carries
+        no NamedSharding and scan-carry semantics differ — measured no
+        win there anyway, BENCHMARKS.md round-3 #5)."""
+        flag = os.environ.get('PATCHGAN_AUTO_LAYOUT', 'on').lower()
+        if flag in ('off', '0', 'false'):
+            return False
+        return self.mesh is None or self.mesh.size == 1
 
     def _place_batch(self, x, y):
         # device-resident batches from the DataLoader pass straight

@@ -501,3 +501,44 @@ def test_step_checkpoint_torn_metadata_is_ignored(tmp_path, capsys):
     assert t2.start == 1
     assert 'Ignoring unreadable step checkpoint' in \
         capsys.readouterr().out
+
+
+def test_auto_layout_step_matches_plain_jit(tmp_path, rng, monkeypatch):
+    """The AUTO-layout eager step (train/auto_layout.py, default on for
+    single-device meshes) must be numerically identical to the plain
+    jitted step and keep its formats stable across steps (the compiled
+    program's output formats feed back as its inputs)."""
+    from patchgan_tpu.parallel.mesh import default_mesh
+    from patchgan_tpu.train.auto_layout import AutoLayoutStep
+
+    mesh1 = default_mesh(jax.devices()[:1])
+    x, y = synth_batch(rng, n=2)
+
+    monkeypatch.setenv('PATCHGAN_AUTO_LAYOUT', 'on')
+    t_auto = make_trainer(tmp_path / 'a', mesh=mesh1)
+    step = t_auto._get_step(True)
+    assert isinstance(step, AutoLayoutStep)
+    auto_losses = [t_auto.batch(x, y, train=True) for _ in range(3)]
+    # the AOT path really compiled (did not silently fall back)
+    assert all(v is not None for v in step._cache.values())
+
+    monkeypatch.setenv('PATCHGAN_AUTO_LAYOUT', 'off')
+    t_plain = make_trainer(tmp_path / 'b', mesh=mesh1)
+    assert not isinstance(t_plain._get_step(True), AutoLayoutStep)
+    plain_losses = [t_plain.batch(x, y, train=True) for _ in range(3)]
+
+    for a, b in zip(auto_losses, plain_losses):
+        assert a.keys() == b.keys()
+        for k in a:
+            np.testing.assert_allclose(a[k], b[k], rtol=1e-6, atol=1e-7)
+
+
+def test_auto_layout_disabled_on_multidevice_mesh(tmp_path):
+    """Multi-device meshes keep the GSPMD path (gate in
+    Trainer._auto_layout)."""
+    from patchgan_tpu.train.auto_layout import AutoLayoutStep
+    t = make_trainer(tmp_path)  # default mesh = 8 virtual devices
+    if t.mesh.size == 1:
+        import pytest
+        pytest.skip('single-device environment')
+    assert not isinstance(t._get_step(True), AutoLayoutStep)
