@@ -24,7 +24,7 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 
-def capture(steps, batch, size):
+def capture(steps, batch, size, auto_layout=False):
     from patchgan_tpu.models import Discriminator, UNet
     from patchgan_tpu.train.steps import (init_train_state, make_optimizer,
                                           make_train_step)
@@ -37,14 +37,19 @@ def capture(steps, batch, size):
     disc_tx = make_optimizer(1e-3, mu_dtype=jnp.bfloat16)
     state = init_train_state(gen, disc, (1, size, size, 3), 1, gen_tx,
                              disc_tx, seed=0)
-    step = jax.jit(make_train_step(gen, disc, gen_tx, disc_tx),
-                   donate_argnums=(0,))
+    fn = make_train_step(gen, disc, gen_tx, disc_tx)
+    step = jax.jit(fn, donate_argnums=(0,))
 
     rng = np.random.default_rng(0)
     x = jax.device_put(rng.uniform(size=(batch, size, size, 3))
                        .astype(np.float32))
     y = jax.device_put((rng.uniform(size=(batch, size, size, 1)) > 0.5)
                        .astype(np.float32))
+
+    if auto_layout:
+        # the Trainer's shipping eager configuration (train/auto_layout)
+        from patchgan_tpu.train.auto_layout import AutoLayoutStep
+        step = AutoLayoutStep(fn, step)
 
     state, losses = step(state, x, y)  # compile + warm
     jax.block_until_ready(losses['gen'])
@@ -159,11 +164,14 @@ def main():
     ap.add_argument('--top', type=int, default=20)
     ap.add_argument('--analyze-only', default=None,
                     help='parse an existing trace dir instead')
+    ap.add_argument('--auto_layout', action='store_true',
+                    help='profile the AUTO-boundary-layout eager step '
+                         '(the Trainer default, train/auto_layout.py)')
     args = ap.parse_args()
     if args.analyze_only:
         analyze(args.analyze_only, args.steps, args.top)
         return
-    outdir = capture(args.steps, args.batch, args.size)
+    outdir = capture(args.steps, args.batch, args.size, args.auto_layout)
     print('trace dir:', outdir)
     analyze(outdir, args.steps, args.top)
 

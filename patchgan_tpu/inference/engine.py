@@ -25,6 +25,24 @@ def _round_up(n, m):
     return ((n + m - 1) // m) * m
 
 
+def _pad_min_size(image, size):
+    """Edge-pad an (H, W, C) image up to at least (size, size).
+
+    The reference tiler CRASHES on images smaller than the tile (its
+    clamp produces negative-start slices, infer.py:29-32, and the
+    too-small crop fails to assign); we instead pad with edge
+    replication (keeps each tile's instance-norm statistics close to
+    the real image's) and the caller crops the stitched mask back to
+    (H, W).
+    """
+    h, w = image.shape[:2]
+    if h >= size and w >= size:
+        return image, (h, w)
+    image = np.pad(image, ((0, max(0, size - h)), (0, max(0, size - w)),
+                           (0, 0)), mode='edge')
+    return image, (h, w)
+
+
 class InferenceEngine:
     def __init__(self, generator, g_params, size=256, overlap=0.9,
                  threshold=0, batch_size=16, mesh=None, dtype=None):
@@ -77,11 +95,12 @@ class InferenceEngine:
         """
         if mode == 'spatial':
             return self.predict_image_spatial(image)
-        crops = n_crop(np.asarray(image, dtype=np.float32), self.size,
-                       self.overlap)
+        image, (h, w) = _pad_min_size(
+            np.asarray(image, dtype=np.float32), self.size)
+        crops = n_crop(image, self.size, self.overlap)
         masks = self.predict_tiles(crops)
         return build_mask(masks, self.size, image.shape[:2],
-                          self.threshold, self.overlap)
+                          self.threshold, self.overlap)[:h, :w]
 
     def predict_images(self, images):
         """Batched tiled inference over SEVERAL images: all images'
@@ -90,16 +109,17 @@ class InferenceEngine:
         per image. With a backlog of small images this fills the fixed
         bucket (and the device) instead of padding each image's few
         tiles separately -- used by patchgan_serve --batch."""
-        images = [np.asarray(im, dtype=np.float32) for im in images]
+        padded = [_pad_min_size(np.asarray(im, dtype=np.float32),
+                                self.size) for im in images]
         crops_list = [n_crop(im, self.size, self.overlap)
-                      for im in images]
+                      for im, _ in padded]
         counts = [c.shape[0] for c in crops_list]
         masks = self.predict_tiles(np.concatenate(crops_list, axis=0))
         out, off = [], 0
-        for im, cnt in zip(images, counts):
+        for (im, (h, w)), cnt in zip(padded, counts):
             out.append(build_mask(masks[off:off + cnt], self.size,
                                   im.shape[:2], self.threshold,
-                                  self.overlap))
+                                  self.overlap)[:h, :w])
             off += cnt
         return out
 

@@ -190,3 +190,27 @@ def test_spatial_mode_matches_full_forward():
         lambda p, x: gen.apply({'params': p}, x))(params, padded))
     expected = np.argmax(full[0, :200, :300], axis=-1)
     np.testing.assert_array_equal(got, expected)
+
+
+def test_predict_image_smaller_than_tile():
+    """Images smaller than the tile size are edge-padded and cropped
+    back (the reference tiler crashes on them, infer.py:29-32); output
+    keeps the original resolution, and the interior values match the
+    identity head exactly."""
+
+    class IdentityHead:
+        def apply(self, variables, x, train=False):
+            return x[..., :1] * 2.0
+
+    rng = np.random.default_rng(7)
+    for h, w in [(96, 128), (128, 96), (60, 60), (128, 200)]:
+        img = rng.uniform(size=(h, w, 3)).astype(np.float32)
+        engine = InferenceEngine(IdentityHead(), {}, size=128,
+                                 overlap=0.9, threshold=0, batch_size=4)
+        out = engine.predict_image(img)
+        assert out.shape == (h, w)
+        np.testing.assert_allclose(out, img[..., 0] * 2.0, atol=1e-5)
+
+        outs = engine.predict_images([img, img])
+        assert all(o.shape == (h, w) for o in outs)
+        np.testing.assert_allclose(outs[0], out, atol=1e-6)
