@@ -29,7 +29,15 @@ xavier_uniform = nn.initializers.xavier_uniform()
 
 
 class DownBlock(nn.Module):
-    """Strided conv -> instance norm -> activation -> optional dropout."""
+    """Strided conv -> instance norm -> activation -> optional dropout.
+
+    ``s2d_in=True``: the input arrives in space-to-depth form
+    ``[N, H/2, W/2, 4C]`` and the stride-2 conv runs as the equivalent
+    stride-1 conv over the s2d grid (ops/s2d.py) -- numerically exact,
+    same ``(4, 4, C, features)`` parameter, same output. Used for the
+    UNet's first encoder level so the full-resolution few-channel input
+    tensor never exists inside the train step.
+    """
     features: int
     activation: str
     use_dropout: bool = False
@@ -37,16 +45,26 @@ class DownBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = True
     remat: bool = False
+    s2d_in: bool = False
 
     @nn.compact
     def __call__(self, x, train=False):
+        in_ch = x.shape[-1] // 4 if self.s2d_in else x.shape[-1]
         kernel = self.param(
             'kernel', xavier_uniform,
-            (KERNEL_SIZE, KERNEL_SIZE, x.shape[-1], self.features))
+            (KERNEL_SIZE, KERNEL_SIZE, in_ch, self.features))
         x = x.astype(self.dtype)
         kernel = kernel.astype(self.dtype)
 
         def core(x, kernel):
+            if self.s2d_in:
+                from ..ops.s2d import conv2d_s2d
+                out = conv2d_s2d(x, kernel)
+                if self.use_norm:
+                    return instance_norm(out, eps=NORM_EPS,
+                                         activation=self.activation,
+                                         use_pallas=self.use_pallas)
+                return apply_activation(out, self.activation)
             if self.use_norm:
                 # single-pass conv+IN+act Pallas kernel, shape-gated by
                 # the measured dispatch table (PATCHGAN_FUSED_CONV=auto,
@@ -84,6 +102,13 @@ class UpBlock(nn.Module):
     ``skip`` is logically concatenated with ``x`` on the channel axis
     before the transposed conv (reference unet.py:127); here the conv is
     split over the two inputs instead, which is numerically identical.
+
+    ``s2d_out=True``: the transposed conv PRODUCES its output in
+    space-to-depth form ``[N, H, W, 4*features]`` (ops/s2d.py) -- same
+    parameter, exact numerics per original pixel, softmax applied per
+    parity block. Used for the UNet's final level so the
+    full-resolution few-channel output tensor never exists inside the
+    train step. Requires ``use_norm=False`` (it is the output head).
     """
     features: int
     activation: str
@@ -93,6 +118,7 @@ class UpBlock(nn.Module):
     use_pallas: bool = True
     fp32_act: bool = False  # final output head: activation in fp32
     remat: bool = False
+    s2d_out: bool = False
 
     @nn.compact
     def __call__(self, x, skip=None, train=False):
@@ -104,6 +130,15 @@ class UpBlock(nn.Module):
         skip = skip.astype(self.dtype) if skip is not None else None
 
         def core(x, skip, kernel):
+            if self.s2d_out:
+                assert not self.use_norm, \
+                    's2d_out is an output-head option (use_norm=False)'
+                from ..ops.s2d import (apply_activation_s2d,
+                                       conv_transpose2d_s2d)
+                out = conv_transpose2d_s2d(x, kernel, x2=skip)
+                if self.fp32_act:
+                    out = out.astype(jnp.float32)
+                return apply_activation_s2d(out, self.activation)
             if self.use_norm:
                 # single-pass convT+IN+act Pallas kernel, shape-gated by
                 # its measured dispatch table (PATCHGAN_FUSED_CONVT=auto

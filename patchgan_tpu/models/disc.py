@@ -47,6 +47,11 @@ class Discriminator(nn.Module):
     norm: bool = False
     dtype: Any = jnp.float32
     use_pallas: bool = True
+    s2d: bool = False  # inputs arrive in space-to-depth form
+    #   [N, H/2, W/2, 4C]; conv0 runs as the exact stride-1 equivalent
+    #   (ops/s2d.py) with the same parameter, so the full-resolution
+    #   image/mask tensors never exist inside the train step. Layers
+    #   past conv0 are untouched (their inputs are normal-form).
 
     @nn.compact
     def __call__(self, x, y=None, train=False):
@@ -58,8 +63,10 @@ class Discriminator(nn.Module):
         x = x.astype(self.dtype)
         y = y.astype(self.dtype) if y is not None else None
 
-        def conv(h, features, stride, use_bias, name, h2=None):
+        def conv(h, features, stride, use_bias, name, h2=None, s2d=False):
             in_ch = h.shape[-1] + (h2.shape[-1] if h2 is not None else 0)
+            if s2d:
+                in_ch //= 4
             kernel = self.param(f'{name}_kernel', xavier_uniform,
                                 (k, k, in_ch, features))
             bias = None
@@ -68,10 +75,15 @@ class Discriminator(nn.Module):
                                   torch_conv_bias_init(in_ch * k * k),
                                   (features,))
                 bias = bias.astype(self.dtype)
+            if s2d:
+                from ..ops.s2d import conv2d_s2d
+                return conv2d_s2d(h, kernel.astype(self.dtype), bias=bias,
+                                  x2=h2)
             return conv2d(h, kernel.astype(self.dtype), stride=stride,
                           padding=1, bias=bias, x2=h2)
 
-        h = conv(x, self.ndf, stride=2, use_bias=True, name='conv0', h2=y)
+        h = conv(x, self.ndf, stride=2, use_bias=True, name='conv0', h2=y,
+                 s2d=self.s2d)
         h = apply_activation(h, 'leakyrelu')
 
         nf_mult = 1

@@ -42,6 +42,14 @@ class UNet(nn.Module):
     final_act: str = 'softmax'
     dtype: Any = jnp.float32
     use_pallas: bool = True
+    s2d: bool = False  # space-to-depth boundary form: input arrives as
+    #   [N, H/2, W/2, 4*input_nc] and the output is produced as
+    #   [N, H/2, W/2, 4*output_nc] (channel order (dy, dx, c); see
+    #   ops/s2d.py). Numerically exact per pixel, identical parameter
+    #   tree -- checkpoints swap freely between modes. Train-step-only
+    #   optimisation: full-resolution few-channel tensors are
+    #   pathological for TPU lane tiling (XLA lays C=1 out N-minor and
+    #   pays relayout copies; BENCHMARKS.md round-3 trace).
     remat: Any = False  # True: checkpoint every block (recompute
     #   conv+norm+act in backward instead of storing intermediates);
     #   tuple of block names ('enc4', 'dec0', ...): checkpoint only
@@ -57,6 +65,8 @@ class UNet(nn.Module):
     def __call__(self, x, train=False, return_hidden=False):
         filts = unet_filters(self.nf)
         h, w = x.shape[1], x.shape[2]
+        if self.s2d:
+            h, w = h * 2, w * 2  # x is the s2d form of a 2h x 2w input
         stride_total = 2 ** N_LEVELS
         if h % stride_total or w % stride_total:
             # 7 stride-2 levels need spatial dims divisible by 128; the
@@ -73,6 +83,7 @@ class UNet(nn.Module):
             x = DownBlock(f, self.activation, use_dropout=self.use_dropout,
                           dtype=self.dtype, use_pallas=self.use_pallas,
                           remat=self._remat(f'enc{i}'),
+                          s2d_in=self.s2d and i == 0,
                           name=f'enc{i}')(x, train=train)
             skips.append(x)
 
@@ -94,6 +105,7 @@ class UNet(nn.Module):
                     dtype=self.dtype, use_pallas=self.use_pallas,
                     fp32_act=True,
                     remat=self._remat(f'dec{len(dec_filts)}'),
+                    s2d_out=self.s2d,
                     name=f'dec{len(dec_filts)}')(x, skip=rev[len(dec_filts)],
                                                  train=train)
 

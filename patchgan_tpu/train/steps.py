@@ -83,6 +83,11 @@ def init_train_state(generator, discriminator, input_shape, out_channels,
     g_key, d_key, state_key = jax.random.split(rng, 3)
     x = jnp.zeros(input_shape, jnp.float32)
     y = jnp.zeros(input_shape[:3] + (out_channels,), jnp.float32)
+    if getattr(generator, 's2d', False):
+        # s2d models trace over the boundary form; the parameter tree
+        # (shapes and names) is identical either way (ops/s2d.py)
+        from ..ops.s2d import space_to_depth
+        x, y = space_to_depth(x), space_to_depth(y)
     g_params = generator.init(g_key, x, train=False)['params']
     d_params = discriminator.init(d_key, x, y)['params']
     return TrainState(
@@ -152,13 +157,24 @@ def make_seg_loss(loss_type, seg_alpha, tversky_beta=0.75,
 
 
 def gan_losses(generator, discriminator, seg_loss, g_params, d_params,
-               x, y, train, dropout_rng):
-    """Shared forward-pass/loss computation for train and eval."""
+               x, y, train, dropout_rng, s2d=False):
+    """Shared forward-pass/loss computation for train and eval.
+
+    ``s2d=True``: x/y are space-to-depth tensors, the models carry the
+    matching flag, and the segmentation loss sees ``fold_blocks`` views
+    (same per-(sample, class) pixel multisets as the original layout, so
+    every loss in ops/losses.py -- elementwise terms plus per-sample/
+    per-class reductions -- is exactly preserved; ops/s2d.py).
+    """
     rngs = {'dropout': dropout_rng} if train else None
     gen_img = generator.apply({'params': g_params}, x, train=train,
                               rngs=rngs)
     disc_fake = discriminator.apply({'params': d_params}, x, gen_img)
-    seg = seg_loss(gen_img, y)
+    if s2d:
+        from ..ops.s2d import fold_blocks
+        seg = seg_loss(fold_blocks(gen_img), fold_blocks(y))
+    else:
+        seg = seg_loss(gen_img, y)
     gdisc = bce_loss(disc_fake, jnp.ones_like(disc_fake))
     return seg + gdisc, (gen_img, gdisc)
 
@@ -192,16 +208,21 @@ def make_train_step(generator, discriminator, gen_tx, disc_tx,
                     loss_type='tversky', seg_alpha=200.0,
                     tversky_beta=0.75, tversky_gamma=0.75,
                     grad_dtype=None, merged_disc=False,
-                    bce_weighting='complement'):
+                    bce_weighting='complement', s2d=None):
     """Build the fused G+D train step.
 
     ``grad_dtype`` (e.g. bfloat16) casts both gradient trees before the
     optimizer update, halving gradient HBM traffic; Adam's second-moment
     accumulation still runs in the optimizer-state dtype. ``merged_disc``
     batches the discriminator's real+fake forwards (see disc_real_fake).
+    ``s2d`` (default: follow the generator's flag) converts x/y to their
+    space-to-depth form at step entry so no full-resolution few-channel
+    tensor exists inside the program (ops/s2d.py).
     """
     seg_loss = make_seg_loss(loss_type, seg_alpha, tversky_beta,
                              tversky_gamma, bce_weighting)
+    if s2d is None:
+        s2d = getattr(generator, 's2d', False)
 
     def cast_grads(grads):
         if grad_dtype is None:
@@ -210,10 +231,13 @@ def make_train_step(generator, discriminator, gen_tx, disc_tx,
 
     def train_step(state, x, y):
         dropout_rng = jax.random.fold_in(state.rng, state.step)
+        if s2d:
+            from ..ops.s2d import space_to_depth
+            x, y = space_to_depth(x), space_to_depth(y)
 
         def g_loss_fn(g_params):
             return gan_losses(generator, discriminator, seg_loss, g_params,
-                              state.d_params, x, y, True, dropout_rng)
+                              state.d_params, x, y, True, dropout_rng, s2d)
 
         (g_loss, (gen_img, gdisc)), g_grads = jax.value_and_grad(
             g_loss_fn, has_aux=True)(state.g_params)
@@ -255,11 +279,15 @@ def make_eval_step(generator, discriminator, loss_type='tversky',
     for IoU parity)."""
     seg_loss = make_seg_loss(loss_type, seg_alpha, tversky_beta,
                              tversky_gamma, bce_weighting)
+    s2d = getattr(generator, 's2d', False)
 
     def eval_step(state, x, y):
+        if s2d:
+            from ..ops.s2d import space_to_depth
+            x, y = space_to_depth(x), space_to_depth(y)
         g_loss, (gen_img, gdisc) = gan_losses(
             generator, discriminator, seg_loss, state.g_params,
-            state.d_params, x, y, False, None)
+            state.d_params, x, y, False, None, s2d)
         disc_real, disc_fake = disc_real_fake(
             discriminator, state.d_params, x, y, gen_img)
         loss_real = bce_loss(disc_real, jnp.ones_like(disc_real))
@@ -269,7 +297,11 @@ def make_eval_step(generator, discriminator, loss_type='tversky',
                   'discr': loss_real, 'discf': loss_fake, 'disc': d_loss}
         if compute_iou:
             from ..utils.metrics import iou
-            losses['iou'] = iou(y, gen_img)
+            if s2d:
+                from ..ops.s2d import fold_blocks
+                losses['iou'] = iou(fold_blocks(y), fold_blocks(gen_img))
+            else:
+                losses['iou'] = iou(y, gen_img)
         return losses
 
     return eval_step
