@@ -2,19 +2,23 @@
 
 Measures the BASELINE.json config-2 workload -- COCO-stuff-shaped 256px
 training, batch 16, Tversky + adversarial loss, bf16 compute -- as one
-jitted generator+discriminator update with donated state (the same step
-patchgan_train runs). Synthetic device-resident data isolates compute
-throughput from host IO.
+jitted generator+discriminator update with donated state, dispatched
+exactly the way `patchgan_train` ships it: eager back-to-back steps
+through the Trainer's AUTO-boundary-layout wrapper
+(patchgan_tpu/train/auto_layout.py, PATCHGAN_AUTO_LAYOUT=on default),
+losses fetched with a one-step delay. Synthetic device-resident data
+isolates compute throughput from host IO.
 
-Timing is DIFFERENTIAL: time(scan of 18 steps) - time(scan of 3 steps),
-divided by 15, inside jitted lax.scan programs. This is how the Trainer
-actually drives the chip (steps dispatched back-to-back, losses fetched
-with a one-step delay) and it cancels this dev environment's axon-relay
-dispatch round-trip (~0.7 ms/step, an artifact of the TPU tunnel, not
-of the framework; measured: naive per-dispatch timing reads ~950 img/s
-where the device step time is 15.1 ms = 1061 img/s). The long-scan
-result is still end-to-end real: one dispatch executes 18 full G+D
-updates on device.
+Timing is DIFFERENTIAL: time(LONG back-to-back dispatches) -
+time(SHORT dispatches) over the same compiled step, divided by
+(LONG - SHORT), best-of-reps interleaved. Fixed costs (final loss
+fetch, first-dispatch sync) cancel; per-dispatch host work overlaps
+device compute because dispatches are asynchronous, so the reading is
+device-bound -- cross-checked against the scan-based variant
+(`--mode scan`, one dispatch running the whole chain on device, which
+cancels the axon relay exactly but pays lax.scan's carry-boundary
+relayouts that the shipping eager path avoids; BENCHMARKS.md round-3
+"AUTO boundary layouts").
 
 vs_baseline compares against a DERIVED PyTorch-on-A100 anchor of
 550 img/s (the reference publishes no numbers and no GPU exists here to
@@ -33,30 +37,33 @@ Prints exactly ONE JSON line.
 """
 
 import json
+import sys
+import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from benchmarks._timing import diff_time_one
-
 BATCH = 16
 SIZE = 256
-SHORT = 3
-LONG = 18
-REPS = 4
+SHORT = 10
+LONG = 70
+REPS = 3
 A100_TORCH_ANCHOR_IMG_S = 550.0  # derived; see module docstring
 
 
-def main():
+def build():
     from patchgan_tpu.models import Discriminator, UNet
     from patchgan_tpu.train.steps import (init_train_state, make_optimizer,
                                           make_train_step)
 
+    # s2d=True: the space-to-depth boundary form the Trainer ships by
+    # default (PATCHGAN_S2D=on; trainer.py _use_s2d) -- numerically
+    # exact, identical parameter tree (ops/s2d.py, tests/test_s2d.py)
     gen = UNet(input_nc=3, output_nc=1, nf=64, final_act='sigmoid',
-               dtype=jnp.bfloat16)
+               dtype=jnp.bfloat16, s2d=True)
     disc = Discriminator(input_nc=4, ndf=64, n_layers=3,
-                         dtype=jnp.bfloat16)
+                         dtype=jnp.bfloat16, s2d=True)
     gen_tx = make_optimizer(1e-3, mu_dtype=jnp.bfloat16)
     disc_tx = make_optimizer(1e-3, mu_dtype=jnp.bfloat16)
     state = init_train_state(gen, disc, (1, SIZE, SIZE, 3), 1, gen_tx,
@@ -65,14 +72,51 @@ def main():
                            loss_type='tversky', seg_alpha=200.0)
 
     rng = np.random.default_rng(0)
+    # x/y are jit ARGUMENTS: captured device arrays would be baked into
+    # the program as constants, which the remote-compile path serialises
+    # and constant-folds at a large compile-time cost
     x = jax.device_put(rng.uniform(size=(BATCH, SIZE, SIZE, 3))
                        .astype(np.float32))
     y = jax.device_put((rng.uniform(size=(BATCH, SIZE, SIZE, 1)) > 0.5)
                        .astype(np.float32))
+    return state, step, x, y
 
-    # x/y are jit ARGUMENTS: captured device arrays would be baked into
-    # the program as constants, which the remote-compile path serialises
-    # and constant-folds at a large compile-time cost
+
+def fetch(v):
+    v = float(v)
+    assert np.isfinite(v), "non-finite generator loss in benchmark"
+    return v
+
+
+def eager_step_time(state, step, x, y):
+    """The shipping dispatch mode: Trainer-style eager steps through
+    AutoLayoutStep (AUTO boundary layouts, donated state)."""
+    from patchgan_tpu.train.auto_layout import AutoLayoutStep
+    auto = AutoLayoutStep(step, jax.jit(step, donate_argnums=(0,)))
+
+    def run(state, n):
+        for _ in range(n):
+            state, losses = auto(state, x, y)
+        fetch(losses['gen'])
+        return state
+
+    state = run(state, 2)  # compile + settle formats
+    best = [float('inf'), float('inf')]
+    for _ in range(REPS):
+        for i, n in enumerate((SHORT, LONG)):
+            t0 = time.perf_counter()
+            state = run(state, n)
+            best[i] = min(best[i], time.perf_counter() - t0)
+    return (best[1] - best[0]) / (LONG - SHORT)
+
+
+def scan_step_time(state, step, x, y):
+    """Cross-check mode: the whole chain as ONE on-device lax.scan
+    dispatch (cancels the axon relay exactly, but lax.scan pins its
+    carry to default layouts, adding the relayouts the eager path
+    avoids)."""
+    from benchmarks._timing import diff_time_one
+
     def scan_of(length):
         @jax.jit
         def run(st, x, y):
@@ -87,12 +131,15 @@ def main():
         run = scan_of(length)
         return lambda: run(state, x, y)
 
-    def fetch(v):
-        v = float(v)
-        assert np.isfinite(v), "non-finite generator loss in benchmark"
-        return v
+    return diff_time_one(runner, 3, 18, REPS + 1, fetch=fetch)
 
-    dt = diff_time_one(runner, SHORT, LONG, REPS, fetch=fetch)
+
+def main():
+    mode = 'scan' if '--mode' in sys.argv and \
+        sys.argv[sys.argv.index('--mode') + 1] == 'scan' else 'eager'
+    state, step, x, y = build()
+    dt = (scan_step_time if mode == 'scan' else eager_step_time)(
+        state, step, x, y)
     img_s = BATCH / dt
     print(json.dumps({
         'metric': 'train_images_per_sec_per_chip',

@@ -34,15 +34,15 @@ from jax.experimental.layout import Format, Layout  # noqa: E402
 SIZE = 256
 
 
-def build(batch):
+def build(batch, s2d=False):
     from patchgan_tpu.models import Discriminator, UNet
     from patchgan_tpu.train.steps import (init_train_state, make_optimizer,
                                           make_train_step)
 
     gen = UNet(input_nc=3, output_nc=1, nf=64, final_act='sigmoid',
-               dtype=jnp.bfloat16)
+               dtype=jnp.bfloat16, s2d=s2d)
     disc = Discriminator(input_nc=4, ndf=64, n_layers=3,
-                         dtype=jnp.bfloat16)
+                         dtype=jnp.bfloat16, s2d=s2d)
     gen_tx = make_optimizer(1e-3, mu_dtype=jnp.bfloat16)
     disc_tx = make_optimizer(1e-3, mu_dtype=jnp.bfloat16)
     state = init_train_state(gen, disc, (1, SIZE, SIZE, 3), 1, gen_tx,
@@ -76,26 +76,38 @@ def main():
     ap.add_argument('--batch', type=int, default=16)
     ap.add_argument('--steps', type=int, default=60)
     ap.add_argument('--reps', type=int, default=3)
+    ap.add_argument('--arms', default='default,auto',
+                    help='comma list of default,auto,s2d,s2d_auto')
     args = ap.parse_args()
+    names = args.arms.split(',')
 
-    state, step, x, y = build(args.batch)
+    arms = {}  # name -> [compiled, state, x, y]
+    for s2d in sorted({n.startswith('s2d') for n in names}):
+        state, step, x, y = build(args.batch, s2d=s2d)
+        prefix = 's2d_' if s2d else ''
+        base_name = 's2d' if s2d else 'default'
+        auto_name = prefix + 'auto'
 
-    base = jax.jit(step, donate_argnums=(0,))
-    auto = jax.jit(step, donate_argnums=(0,),
-                   in_shardings=(Format(Layout.AUTO), Format(Layout.AUTO),
-                                 Format(Layout.AUTO)),
-                   out_shardings=Format(Layout.AUTO))
+        base_c = jax.jit(step, donate_argnums=(0,)) \
+            .lower(state, x, y).compile()
+        if base_name in names:
+            arms[base_name] = [base_c, state, x, y]
+        if auto_name not in names:
+            continue
+        auto = jax.jit(step, donate_argnums=(0,),
+                       in_shardings=(Format(Layout.AUTO),
+                                     Format(Layout.AUTO),
+                                     Format(Layout.AUTO)),
+                       out_shardings=Format(Layout.AUTO))
+        compiled = auto.lower(state, x, y).compile()
 
-    # what did AUTO choose? count params whose layout differs from the
-    # default compiled boundary layouts
-    compiled = auto.lower(state, x, y).compile()
-    base_c = base.lower(state, x, y).compile()
-    fmts = jax.tree.leaves(compiled.input_formats[0][0])
-    base_fmts = jax.tree.leaves(base_c.input_formats[0][0])
-    ndiff = sum(1 for a, b in zip(fmts, base_fmts) if a != b)
-    print(json.dumps({'params_total': len(fmts),
-                      'params_nondefault_layout': ndiff}), flush=True)
-    if ndiff:
+        # what did AUTO choose? count params whose layout differs from
+        # the default compiled boundary layouts
+        fmts = jax.tree.leaves(compiled.input_formats[0][0])
+        base_fmts = jax.tree.leaves(base_c.input_formats[0][0])
+        ndiff = sum(1 for a, b in zip(fmts, base_fmts) if a != b)
+        print(json.dumps({'arm': auto_name, 'params_total': len(fmts),
+                          'params_nondefault_layout': ndiff}), flush=True)
         shown = 0
         for a, b, leaf in zip(fmts, base_fmts,
                               jax.tree.leaves(
@@ -106,23 +118,23 @@ def main():
                                   'default': str(b.layout)}), flush=True)
                 shown += 1
 
-    # relay the state (and batch) into the AUTO layouts once, outside
-    # timing
-    state_auto = jax.device_put(
-        jax.tree.map(np.asarray, state), compiled.input_formats[0][0])
-    x_auto = jax.device_put(np.asarray(x), compiled.input_formats[0][1])
-    y_auto = jax.device_put(np.asarray(y), compiled.input_formats[0][2])
+        # relay the state (and batch) into the AUTO layouts once,
+        # outside timing
+        state_auto = jax.device_put(
+            jax.tree.map(np.asarray, state), compiled.input_formats[0][0])
+        x_auto = jax.device_put(np.asarray(x), compiled.input_formats[0][1])
+        y_auto = jax.device_put(np.asarray(y), compiled.input_formats[0][2])
+        arms[auto_name] = [compiled, state_auto, x_auto, y_auto]
 
     for rep in range(args.reps):
-        dt_b, state = time_eager(base_c, state, x, y, args.steps)
-        dt_a, state_auto = time_eager(compiled, state_auto, x_auto,
-                                      y_auto, args.steps)
-        print(json.dumps({
-            'rep': rep,
-            'default_ms': round(dt_b * 1e3, 3),
-            'auto_ms': round(dt_a * 1e3, 3),
-            'default_img_s': round(args.batch / dt_b, 1),
-            'auto_img_s': round(args.batch / dt_a, 1)}), flush=True)
+        out = {'rep': rep}
+        for name in names:
+            entry = arms[name]
+            dt, entry[1] = time_eager(entry[0], entry[1], entry[2],
+                                      entry[3], args.steps)
+            out[name + '_ms'] = round(dt * 1e3, 3)
+            out[name + '_img_s'] = round(args.batch / dt, 1)
+        print(json.dumps(out), flush=True)
 
 
 if __name__ == '__main__':

@@ -28,6 +28,8 @@ input formats (then steady-state reuse would relayout every step,
 defeating the point).
 """
 
+import weakref
+
 import jax
 
 __all__ = ['AutoLayoutStep']
@@ -53,6 +55,12 @@ class AutoLayoutStep:
         self._fallback = fallback  # plain jitted step
         self._cache = {}  # (x.shape, x.dtype, y.shape, y.dtype) ->
         #                   (compiled, state_fmt) or None (= use fallback)
+        self._last_out = None  # weakref to the .step array of the state
+        #   we last returned: that state is by construction already in
+        #   the chosen formats (output formats == input formats, checked
+        #   at compile), so the steady-state path skips the per-leaf
+        #   format walk (a ~200-leaf tree walk per dispatch is real host
+        #   time on small-core hosts)
 
     def _compile(self, state, x, y):
         from jax.experimental.layout import Format, Layout
@@ -80,8 +88,15 @@ class AutoLayoutStep:
         if entry is None:
             return self._fallback(state, x, y)
         compiled, state_fmt = entry
-        if not _formats_match(state, state_fmt):
+        last = self._last_out() if self._last_out is not None else None
+        if getattr(state, 'step', None) is not last and \
+                not _formats_match(state, state_fmt):
             # first step, resume, or an LR epoch-update touched leaves:
             # one relayouting device_put, then donation keeps formats
             state = jax.device_put(state, state_fmt)
-        return compiled(state, x, y)
+        out = compiled(state, x, y)
+        try:
+            self._last_out = weakref.ref(out[0].step)
+        except TypeError:  # state type without a weakref-able .step
+            self._last_out = None
+        return out

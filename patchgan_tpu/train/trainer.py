@@ -141,12 +141,14 @@ class Trainer:
                 float(self.tversky_beta), float(self.tversky_gamma),
                 bool(self.compute_iou), self.bce_weighting)
 
-    def _get_step(self, train):
-        key = (train, self._loss_key())
+    def _get_step(self, train, s2d=False):
+        key = (train, s2d, self._loss_key())
         if key not in self._step_cache:
+            gen, disc = (self._s2d_models() if s2d
+                         else (self.generator, self.discriminator))
             if train:
                 fn = make_train_step(
-                    self.generator, self.discriminator, self._gen_tx,
+                    gen, disc, self._gen_tx,
                     self._disc_tx, loss_type=self.loss_type,
                     seg_alpha=self.seg_alpha,
                     tversky_beta=self.tversky_beta,
@@ -158,7 +160,7 @@ class Trainer:
                     jitted = AutoLayoutStep(fn, jitted)
             else:
                 fn = make_eval_step(
-                    self.generator, self.discriminator,
+                    gen, disc,
                     loss_type=self.loss_type, seg_alpha=self.seg_alpha,
                     tversky_beta=self.tversky_beta,
                     tversky_gamma=self.tversky_gamma,
@@ -167,6 +169,37 @@ class Trainer:
                 jitted = jax.jit(fn)
             self._step_cache[key] = jitted
         return self._step_cache[key]
+
+    def _s2d_models(self):
+        """Model clones carrying the space-to-depth boundary form
+        (ops/s2d.py): same parameter tree, same per-pixel numerics, so
+        checkpoints and the public API are untouched -- only the traced
+        program changes."""
+        if not hasattr(self, '_s2d_clones'):
+            self._s2d_clones = (self.generator.clone(s2d=True),
+                                self.discriminator.clone(s2d=True))
+        return self._s2d_clones
+
+    def _s2d_enabled(self):
+        """Space-to-depth boundary form for the jitted steps, default
+        on (measured on v5e batch-16 256px: 14.3 vs 16.2 ms/step
+        combined with AUTO layouts -- BENCHMARKS.md round-3 "boundary
+        layouts"). Numerically exact (tests/test_s2d.py). Disable with
+        PATCHGAN_S2D=off. Spatial meshes keep the plain form: they
+        shard H, which the s2d reshape would resplit."""
+        flag = os.environ.get('PATCHGAN_S2D', 'on').lower()
+        if flag in ('off', '0', 'false'):
+            return False
+        if self.mesh is not None:
+            from ..parallel.spatial import SPATIAL_AXIS
+            if SPATIAL_AXIS in self.mesh.axis_names:
+                return False
+        return True
+
+    def _use_s2d(self, x):
+        # the boundary form needs even H and W (2x2 block grid)
+        return (self._s2d_enabled()
+                and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
 
     def _auto_layout(self):
         """XLA-chosen train-state layouts for the eager step dispatch
@@ -197,9 +230,11 @@ class Trainer:
         '''
         x, y = self._place_batch(x, y)
         if train:
-            self.state, losses = self._get_step(True)(self.state, x, y)
+            self.state, losses = self._get_step(
+                True, self._use_s2d(x))(self.state, x, y)
         else:
-            losses = self._get_step(False)(self.state, x, y)
+            losses = self._get_step(False, self._use_s2d(x))(
+                self.state, x, y)
         # jit canonicalises dict ordering; restore the reference's key
         # order (trainer.py:109), appending any extra metrics (e.g. iou)
         keys = ['gen', 'gen_loss', 'gdisc', 'discr', 'discf', 'disc']
@@ -374,7 +409,7 @@ class Trainer:
     def _run_epoch(self, data, train, desc, epoch=None):
         if hasattr(data, 'shuffle'):
             data.shuffle()
-        step = self._get_step(train)
+        step = None  # fetched per batch (s2d gate needs the shape)
         pbar = tqdm.tqdm(data, desc=desc, dynamic_ncols=True)
         sums = defaultdict(float)
         count = 0
@@ -399,6 +434,7 @@ class Trainer:
                 continue
             n_images += np.shape(input_img)[0]
             x, y = self._place_batch(input_img, target_mask)
+            step = self._get_step(train, self._use_s2d(x))
             if train:
                 self.state, losses = step(self.state, x, y)
                 batches_done += 1

@@ -533,6 +533,48 @@ def test_auto_layout_step_matches_plain_jit(tmp_path, rng, monkeypatch):
             np.testing.assert_allclose(a[k], b[k], rtol=1e-6, atol=1e-7)
 
 
+def test_s2d_default_on_and_matches_plain(tmp_path, rng, monkeypatch):
+    """The Trainer defaults to the space-to-depth boundary form
+    (trainer._use_s2d; PATCHGAN_S2D=off opts out) and its losses match
+    the plain form -- the rewrite is numerically exact (ops/s2d.py,
+    tests/test_s2d.py)."""
+    x, y = synth_batch(rng, n=2)
+
+    monkeypatch.setenv('PATCHGAN_S2D', 'on')
+    t_s2d = make_trainer(tmp_path / 'a')
+    assert t_s2d._use_s2d(x)
+    s2d_losses = [t_s2d.batch(x, y, train=True) for _ in range(3)]
+    s2d_losses.append(t_s2d.batch(x, y, train=False))
+
+    monkeypatch.setenv('PATCHGAN_S2D', 'off')
+    t_plain = make_trainer(tmp_path / 'b')
+    assert not t_plain._use_s2d(x)
+    plain_losses = [t_plain.batch(x, y, train=True) for _ in range(3)]
+    plain_losses.append(t_plain.batch(x, y, train=False))
+
+    for a, b in zip(s2d_losses, plain_losses):
+        assert a.keys() == b.keys()
+        for k in a:
+            np.testing.assert_allclose(a[k], b[k], rtol=2e-4, atol=2e-5,
+                                       err_msg=k)
+
+
+def test_s2d_gated_off_odd_sizes_and_spatial_mesh(tmp_path):
+    """Odd H/W batches (no 2x2 block grid) and spatial meshes (H is
+    sharded; the s2d reshape would resplit it) fall back to the plain
+    step."""
+    t = make_trainer(tmp_path)
+    assert t._use_s2d(np.zeros((2, 64, 64, 3), np.float32))
+    assert not t._use_s2d(np.zeros((2, 65, 64, 3), np.float32))
+    assert not t._use_s2d(np.zeros((2, 64, 65, 3), np.float32))
+
+    if jax.device_count() >= 4:
+        from patchgan_tpu.parallel.spatial import spatial_mesh
+        t_sp = make_trainer(tmp_path / 'sp',
+                            mesh=spatial_mesh(2, 2))
+        assert not t_sp._use_s2d(np.zeros((2, 64, 64, 3), np.float32))
+
+
 def test_auto_layout_disabled_on_multidevice_mesh(tmp_path):
     """Multi-device meshes keep the GSPMD path (gate in
     Trainer._auto_layout)."""
