@@ -27,17 +27,23 @@ def main():
     ap.add_argument('--short', type=int, default=5)
     ap.add_argument('--long', type=int, default=45)
     ap.add_argument('--reps', type=int, default=4)
+    ap.add_argument('--s2d', action='store_true',
+                    help='space-to-depth boundary form incl. the '
+                         'to/from conversions inside the timed body')
     args = ap.parse_args()
 
     from patchgan_tpu.models import UNet
     model = UNet(input_nc=3, output_nc=1, nf=64, final_act='sigmoid',
-                 dtype=jnp.bfloat16)
+                 dtype=jnp.bfloat16, s2d=args.s2d)
+    if args.s2d:
+        from patchgan_tpu.ops.s2d import depth_to_space, space_to_depth
     rng = np.random.default_rng(0)
     x = jax.device_put(rng.uniform(size=(args.batch, args.size,
                                          args.size, 3))
                        .astype(np.float32).astype(jnp.bfloat16))
+    x0 = jnp.zeros((1, args.size, args.size, 3))
     params = model.init(jax.random.PRNGKey(0),
-                        jnp.zeros((1, args.size, args.size, 3)))['params']
+                        space_to_depth(x0) if args.s2d else x0)['params']
 
     # params/x must be jit ARGUMENTS: captured device arrays become
     # program constants, and serialising 25M-param constants through
@@ -47,7 +53,13 @@ def main():
         @jax.jit
         def run(params, x):
             def body(c, _):
-                out = model.apply({'params': params}, x + c, train=False)
+                xi = x + c
+                if args.s2d:
+                    out = depth_to_space(model.apply(
+                        {'params': params}, space_to_depth(xi),
+                        train=False))
+                else:
+                    out = model.apply({'params': params}, xi, train=False)
                 return jnp.mean(out).astype(x.dtype) * 1e-6, None
             c, _ = jax.lax.scan(body, jnp.zeros((), x.dtype),
                                 length=length)

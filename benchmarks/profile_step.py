@@ -24,15 +24,15 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 
-def capture(steps, batch, size, auto_layout=False):
+def capture(steps, batch, size, auto_layout=False, s2d=False):
     from patchgan_tpu.models import Discriminator, UNet
     from patchgan_tpu.train.steps import (init_train_state, make_optimizer,
                                           make_train_step)
 
     gen = UNet(input_nc=3, output_nc=1, nf=64, final_act='sigmoid',
-               dtype=jnp.bfloat16)
+               dtype=jnp.bfloat16, s2d=s2d)
     disc = Discriminator(input_nc=4, ndf=64, n_layers=3,
-                         dtype=jnp.bfloat16)
+                         dtype=jnp.bfloat16, s2d=s2d)
     gen_tx = make_optimizer(1e-3, mu_dtype=jnp.bfloat16)
     disc_tx = make_optimizer(1e-3, mu_dtype=jnp.bfloat16)
     state = init_train_state(gen, disc, (1, size, size, 3), 1, gen_tx,
@@ -167,11 +167,15 @@ def main():
     ap.add_argument('--auto_layout', action='store_true',
                     help='profile the AUTO-boundary-layout eager step '
                          '(the Trainer default, train/auto_layout.py)')
+    ap.add_argument('--s2d', action='store_true',
+                    help='space-to-depth boundary form (the Trainer '
+                         'default; ops/s2d.py)')
     args = ap.parse_args()
     if args.analyze_only:
         analyze(args.analyze_only, args.steps, args.top)
         return
-    outdir = capture(args.steps, args.batch, args.size, args.auto_layout)
+    outdir = capture(args.steps, args.batch, args.size, args.auto_layout,
+                     args.s2d)
     print('trace dir:', outdir)
     analyze(outdir, args.steps, args.top)
 

@@ -14,6 +14,8 @@ reference's host-side sequential tiling (SURVEY.md §5 "long-context"
 analog).
 """
 
+import os
+
 import jax
 import numpy as np
 
@@ -56,9 +58,41 @@ class InferenceEngine:
         # keep the bucket a multiple of the mesh size so crop batches
         # shard evenly across devices
         self.batch_size = _round_up(batch_size, self.n_devices)
-        self._forward = jax.jit(
-            lambda params, x: generator.apply({'params': params}, x,
-                                              train=False))
+
+        # the engine accepts either form of the module (identical
+        # parameter tree either way) and derives what it needs
+        gen_is_s2d = getattr(generator, 's2d', False)
+        plain_gen = generator.clone(s2d=False) if gen_is_s2d \
+            else generator
+
+        def plain_fwd(params, x):
+            return plain_gen.apply({'params': params}, x, train=False)
+
+        # space-to-depth boundary form for the tiled forward (the same
+        # trainer-side rewrite, ops/s2d.py: exact numerics, identical
+        # params; kills the C=1 full-res output copies and enc0 lane
+        # padding). Tiles are fixed (size x size); gate on evenness.
+        # The spatial whole-image mode keeps the plain form -- it
+        # shards H across the mesh, which the s2d reshape would
+        # resplit.
+        self._s2d = (os.environ.get('PATCHGAN_S2D', 'on').lower()
+                     not in ('off', '0', 'false')
+                     and size % 2 == 0)
+        if self._s2d:
+            from ..ops.s2d import depth_to_space, space_to_depth
+            gen_s2d = generator if gen_is_s2d \
+                else generator.clone(s2d=True)
+
+            def s2d_fwd(params, x):
+                out = gen_s2d.apply({'params': params},
+                                    space_to_depth(x), train=False)
+                return depth_to_space(out)
+
+            self._forward = jax.jit(s2d_fwd)
+            self._forward_spatial = jax.jit(plain_fwd)
+        else:
+            self._forward = jax.jit(plain_fwd)
+            self._forward_spatial = self._forward
 
     def _place(self, crops):
         if self.mesh is not None and self.n_devices > 1:
@@ -149,7 +183,8 @@ class InferenceEngine:
                     f"falling back to a SINGLE-device whole-image "
                     f"forward", stacklevel=2)
             x = jnp.asarray(padded)
-        probs = np.asarray(self._forward(self.g_params, x))[0, :h, :w]
+        probs = np.asarray(
+            self._forward_spatial(self.g_params, x))[0, :h, :w]
 
         if self.threshold > 0:
             probs = np.where(probs >= self.threshold, 1.0, 0.0)

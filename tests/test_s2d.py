@@ -168,3 +168,39 @@ def test_eval_step_s2d_parity():
     for k in out[False]:
         np.testing.assert_allclose(out[True][k], out[False][k],
                                    rtol=2e-4, atol=2e-5, err_msg=k)
+
+
+# ----------------------------------------------------- inference engine
+
+def test_inference_engine_s2d_matches_plain(monkeypatch):
+    """The engine's default s2d tiled forward (engine.py __init__)
+    returns the same stitched masks as the plain form, including on a
+    non-square image smaller than the tile."""
+    from patchgan_tpu.inference.engine import InferenceEngine
+
+    gen, _ = _models(False)
+    params = gen.init(jax.random.PRNGKey(5),
+                      jnp.zeros((1, 128, 128, 3)))['params']
+    img = rng.uniform(size=(150, 200, 3)).astype(np.float32)
+    small = rng.uniform(size=(90, 70, 3)).astype(np.float32)
+
+    monkeypatch.setenv('PATCHGAN_S2D', 'on')
+    e_s2d = InferenceEngine(gen, params, size=128, batch_size=4)
+    assert e_s2d._s2d
+    monkeypatch.setenv('PATCHGAN_S2D', 'off')
+    e_plain = InferenceEngine(gen, params, size=128, batch_size=4)
+    assert not e_plain._s2d
+
+    for image in (img, small):
+        a = e_s2d.predict_image(image)
+        b = e_plain.predict_image(image)
+        assert a.shape == image.shape[:2]
+        np.testing.assert_allclose(a, b, atol=2e-5)
+
+    # a module already in s2d form works too (the engine derives the
+    # plain clone for the spatial path and uses the module as-is)
+    monkeypatch.setenv('PATCHGAN_S2D', 'on')
+    gen_s, _ = _models(True)
+    e_pre = InferenceEngine(gen_s, params, size=128, batch_size=4)
+    np.testing.assert_allclose(e_pre.predict_image(img),
+                               e_plain.predict_image(img), atol=2e-5)
