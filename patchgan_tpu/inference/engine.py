@@ -75,9 +75,12 @@ class InferenceEngine:
         # The spatial whole-image mode keeps the plain form -- it
         # shards H across the mesh, which the s2d reshape would
         # resplit.
+        # only modules that carry the s2d capability (flax models with
+        # the field; duck-typed heads in tests/serving stay plain)
         self._s2d = (os.environ.get('PATCHGAN_S2D', 'on').lower()
                      not in ('off', '0', 'false')
-                     and size % 2 == 0)
+                     and size % 2 == 0
+                     and getattr(generator, 's2d', None) is not None)
         if self._s2d:
             from ..ops.s2d import depth_to_space, space_to_depth
             gen_s2d = generator if gen_is_s2d \

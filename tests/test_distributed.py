@@ -211,6 +211,38 @@ def test_spatial_mesh_step_matches_single_device(setup):
     jax.config.update('jax_use_shardy_partitioner', shardy_before)
 
 
+def test_trainer_dp_mesh_s2d_matches_single_device(tmp_path):
+    """The Trainer's SHIPPING configuration under data parallelism:
+    default 8-device mesh, s2d boundary form on (the default;
+    trainer._use_s2d applies it to any non-spatial mesh). Losses must
+    match the single-device trainer on the identical batch -- this
+    pins that the space-to-depth reshape composes with GSPMD batch
+    sharding (N sharded, H/W unsharded)."""
+    from patchgan_tpu.train import Trainer
+
+    def make(folder, mesh):
+        gen = UNet(input_nc=3, output_nc=1, nf=4, final_act='sigmoid',
+                   use_pallas=False)
+        disc = Discriminator(input_nc=4, ndf=4, n_layers=2,
+                             use_pallas=False)
+        return Trainer(gen, disc, str(folder), mesh=mesh)
+
+    rng = np.random.default_rng(3)
+    x = rng.uniform(size=(8, 128, 128, 3)).astype(np.float32)
+    y = (rng.uniform(size=(8, 128, 128, 1)) > 0.5).astype(np.float32)
+
+    t_dp = make(tmp_path / 'dp', default_mesh())
+    assert t_dp._use_s2d(x)  # the shipping default under DP
+    t_one = make(tmp_path / 'one', default_mesh(jax.devices()[:1]))
+
+    for _ in range(2):
+        l_dp = t_dp.batch(x, y, train=True)
+        l_one = t_one.batch(x, y, train=True)
+        for k in l_one:
+            np.testing.assert_allclose(l_dp[k], l_one[k],
+                                       rtol=2e-4, atol=1e-5, err_msg=k)
+
+
 def test_trainer_on_spatial_mesh(tmp_path, setup):
     """Trainer(mesh=spatial_mesh(...)) shards batches N-over-data and
     H-over-spatial and trains finite losses end-to-end."""
