@@ -179,6 +179,8 @@ def patchgan_train(argv=None):
     # preemption safety: rolling full-train-state checkpoint every N
     # train batches; resume continues mid-epoch bit-identically
     trainer.save_every_steps = train_params.get('save_every_steps')
+    # gradient accumulation: effective batch N*B at batch-B memory
+    trainer.accumulate_steps = train_params.get('accumulate_steps', 1)
     if args.profile_dir:
         trainer.profile_dir = args.profile_dir
 

@@ -39,7 +39,7 @@ class TrainState(NamedTuple):
 
 
 def make_optimizer(learning_rate=1e-3, b1=0.9, b2=0.999, mu_dtype=None,
-                   freeze_patterns=()):
+                   freeze_patterns=(), every_k=1):
     """Adam with betas (0.9, 0.999) (reference trainer.py:169-172), with
     the learning rate exposed as mutable optimizer-state so epoch-level
     LR schedules never retrace the step.
@@ -52,7 +52,16 @@ def make_optimizer(learning_rate=1e-3, b1=0.9, b2=0.999, mu_dtype=None,
     ``freeze_patterns`` freezes parameters whose '/'-joined tree path
     starts with any given prefix (e.g. ('enc',) freezes the whole
     encoder for transfer fine-tuning -- BASELINE.json config 3; the
-    reference cannot freeze anything)."""
+    reference cannot freeze anything).
+
+    ``every_k`` > 1 enables gradient accumulation (optax.MultiSteps,
+    outermost so it also wraps freeze partitions): each step
+    accumulates the running MEAN of the gradients and applies the
+    optimizer update every k-th step -- effective batch k*B at batch-B
+    memory. In the fused GAN step both nets accumulate in lockstep and
+    the discriminator always sees the between-applies (frozen)
+    generator's output, so the semantics match a true k*B batch (the
+    losses are per-sample means; pinned by tests/test_trainer.py)."""
     # hyperparam_dtype pinned to fp32: inject_hyperparams otherwise casts
     # hyperparams to the UPDATES' dtype, and in bf16 b2=0.999 rounds to
     # 1.0 -- zero bias correction, NaN on the first step with bf16 grads
@@ -70,6 +79,8 @@ def make_optimizer(learning_rate=1e-3, b1=0.9, b2=0.999, mu_dtype=None,
                 params)
         tx = optax.multi_transform(
             {'train': tx, 'frozen': optax.set_to_zero()}, mask)
+    if every_k and every_k > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=every_k)
     return tx
 
 

@@ -56,6 +56,9 @@ def _set_learning_rate(opt_state, lr):
     elif hasattr(opt_state, 'inner_states'):
         for inner in opt_state.inner_states.values():
             _set_learning_rate(getattr(inner, 'inner_state', inner), lr)
+    elif hasattr(opt_state, 'inner_opt_state'):
+        # optax.MultiSteps (gradient accumulation) wrapper
+        _set_learning_rate(opt_state.inner_opt_state, lr)
     elif hasattr(opt_state, 'inner_state'):
         _set_learning_rate(opt_state.inner_state, lr)
     return opt_state
@@ -86,6 +89,13 @@ class Trainer:
     #                          DataLoader.fast_forward + batch skipping)
     adam_mu_dtype = None  # bf16 halves first-moment HBM traffic
     freeze_generator = ()  # path prefixes to freeze, e.g. ('enc',)
+    accumulate_steps = 1  # gradient accumulation: apply the optimizer
+    #                       update every N batches on the running MEAN
+    #                       of the gradients (effective batch N*B at
+    #                       batch-B memory; optax.MultiSteps in
+    #                       steps.make_optimizer). Like adam_mu_dtype,
+    #                       takes effect at the next train() call
+    #                       (which rebuilds optimizers and their state)
 
     def __init__(self, generator, discriminator, savefolder, device=None,
                  seed=0, mesh=None):
@@ -127,8 +137,10 @@ class Trainer:
     def _make_optimizers(self, gen_lr, dsc_lr):
         return (make_optimizer(gen_lr, mu_dtype=self.adam_mu_dtype,
                                freeze_patterns=tuple(
-                                   self.freeze_generator)),
-                make_optimizer(dsc_lr, mu_dtype=self.adam_mu_dtype))
+                                   self.freeze_generator),
+                               every_k=self.accumulate_steps),
+                make_optimizer(dsc_lr, mu_dtype=self.adam_mu_dtype,
+                               every_k=self.accumulate_steps))
 
     def _keymaps(self):
         gen_map = unet_key_map()

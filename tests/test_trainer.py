@@ -533,6 +533,52 @@ def test_auto_layout_step_matches_plain_jit(tmp_path, rng, monkeypatch):
             np.testing.assert_allclose(a[k], b[k], rtol=1e-6, atol=1e-7)
 
 
+def test_gradient_accumulation_matches_big_batch(tmp_path, rng):
+    """accumulate_steps=k over k microbatches must equal one k*B-batch
+    step: every loss term is a per-sample mean and instance norm is
+    per-sample, so the accumulated gradient MEAN (optax.MultiSteps)
+    equals the big-batch gradient, and both nets' updates apply on the
+    k-th microbatch with the pre-update generator's output feeding the
+    discriminator in all cases."""
+    x, y = synth_batch(rng, n=4)
+
+    t_acc = make_trainer(tmp_path / 'acc')
+    t_acc.accumulate_steps = 2
+    t_acc.train([], [], epochs=0)  # rebuild optimizers + state only
+    for i in range(2):
+        t_acc.batch(x[2 * i:2 * i + 2], y[2 * i:2 * i + 2], train=True)
+
+    t_big = make_trainer(tmp_path / 'big')
+    t_big.train([], [], epochs=0)
+    t_big.batch(x, y, train=True)
+
+    # tolerance: the accumulated mean reassociates the batch reduction,
+    # and a near-zero gradient differing in its last fp32 bits can flip
+    # one normalised Adam update's sign (|diff| up to 2*lr = 2e-3, same
+    # effect as tests/test_s2d.py's update tolerance) -- so allow that
+    # magnitude but require it to be RARE (<0.1% of elements)
+    for net in ('g_params', 'd_params'):
+        for a, b in zip(jax.tree_util.tree_leaves(
+                            jax.device_get(getattr(t_acc.state, net))),
+                        jax.tree_util.tree_leaves(
+                            jax.device_get(getattr(t_big.state, net)))):
+            np.testing.assert_allclose(a, b, rtol=1e-2, atol=2.2e-3)
+            loose = np.abs(a - b) > 2e-5 + 5e-3 * np.abs(b)
+            assert np.mean(loose) < 1e-3, (net, np.mean(loose))
+
+
+def test_gradient_accumulation_lr_schedule_reaches_inner(tmp_path):
+    """_set_learning_rate must traverse the MultiSteps wrapper state."""
+    from patchgan_tpu.train.trainer import _set_learning_rate
+    t = make_trainer(tmp_path)
+    t.accumulate_steps = 3
+    gen_tx, _ = t._make_optimizers(1e-3, 1e-3)
+    opt_state = gen_tx.init(jax.device_get(t.state.g_params))
+    opt_state = _set_learning_rate(opt_state, 5e-4)
+    assert float(opt_state.inner_opt_state.hyperparams[
+        'learning_rate']) == np.float32(5e-4)
+
+
 def test_s2d_default_on_and_matches_plain(tmp_path, rng, monkeypatch):
     """The Trainer defaults to the space-to-depth boundary form
     (trainer._use_s2d; PATCHGAN_S2D=off opts out) and its losses match
