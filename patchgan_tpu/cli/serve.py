@@ -16,7 +16,11 @@ forward. The process serves images either by
   is restart-safe and idempotent; or
 - a line protocol on stdin (``--stdin``): one input path per line,
   the written mask path echoed on stdout per line ("ERROR <msg>" on
-  failure) -- composable with any external queue/orchestrator.
+  failure) -- composable with any external queue/orchestrator; or
+- an HTTP endpoint (``--http HOST:PORT``): ``POST /predict`` with the
+  image bytes (jpeg/png) returns the PNG mask (the save_mask
+  encoding); ``GET /healthz`` returns 200 once the warmup forward has
+  compiled -- a load balancer can gate traffic on readiness.
 
 Config: the infer-CLI schema (flat or nested ``model_params``,
 ``checkpoint_paths.generator``), plus ``infer_params`` (size via
@@ -279,6 +283,98 @@ def _stdin_loop(engine, mode, output_path, workers=2):
                 print(f"ERROR {e}", flush=True)
 
 
+def _encode_mask_png(mask):
+    """PNG-encode a stitched prediction with COCOStuffDataset.save_mask's
+    exact uint8 scaling (data/coco.py:126-136), to bytes."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    arr = np.asarray(mask)
+    if arr.dtype in (np.float32, np.float64):
+        arr = np.clip(arr * 255.0, 0, 255).astype(np.uint8) \
+            if arr.max() <= 1.0 else arr.astype(np.uint8)
+    else:
+        arr = arr.astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, 'PNG')
+    return buf.getvalue()
+
+
+def _http_loop(engine, mode, addr, server_ready=None):
+    """Blocking HTTP front-end: POST /predict (image bytes in, PNG mask
+    bytes out), GET /healthz. The device forward is serialized with a
+    lock (one TPU program at a time); decode/encode run per request
+    thread, so request decode overlaps the previous request's forward.
+    A bad request (undecodable image) answers 400 and never takes the
+    service down."""
+    import io
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    import numpy as np
+    from PIL import Image
+
+    forward_lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *_):
+            pass  # one line per request below instead of stderr noise
+
+        def _reply(self, code, body, ctype='text/plain'):
+            self.send_response(code)
+            self.send_header('Content-Type', ctype)
+            self.send_header('Content-Length', str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == '/healthz':
+                self._reply(200, b'ok')
+            else:
+                self._reply(404, b'not found')
+
+        def do_POST(self):
+            if self.path != '/predict':
+                self._reply(404, b'not found')
+                return
+            try:
+                n = int(self.headers.get('Content-Length', 0))
+                image = np.asarray(
+                    Image.open(io.BytesIO(self.rfile.read(n)))
+                    .convert('RGB'), np.float32) / 255.0
+            except Exception as e:
+                self._reply(400, f'bad image: {e}'.encode())
+                return
+            try:
+                t0 = time.perf_counter()
+                with forward_lock:
+                    mask = engine.predict_image(image, mode=mode)
+                png = _encode_mask_png(mask)
+                self._reply(200, png, ctype='image/png')
+                print(f"POST /predict {image.shape[1]}x{image.shape[0]}"
+                      f" -> {len(png)} B "
+                      f"({(time.perf_counter() - t0) * 1e3:.0f} ms)",
+                      flush=True)
+            except Exception as e:  # never take the service down
+                self._reply(500, f'inference failed: {e}'.encode())
+                print(f"ERROR /predict: {e}", flush=True)
+
+    host, _, port = addr.rpartition(':')
+    server = ThreadingHTTPServer((host or '127.0.0.1', int(port)),
+                                 Handler)
+    print(f"HTTP serving on http://{server.server_address[0]}:"
+          f"{server.server_address[1]} (POST /predict, GET /healthz)",
+          flush=True)
+    if server_ready is not None:
+        server_ready(server)
+    try:
+        server.serve_forever()
+    finally:
+        server.server_close()
+
+
 def patchgan_serve(argv=None):
     parser = argparse.ArgumentParser(
         prog='PatchGAN',
@@ -288,6 +384,9 @@ def patchgan_serve(argv=None):
                         help='Directory to watch for new images')
     parser.add_argument('--stdin', action='store_true',
                         help='Serve paths read line-by-line from stdin')
+    parser.add_argument('--http', default=None, metavar='HOST:PORT',
+                        help='Serve an HTTP endpoint: POST /predict '
+                             '(image bytes -> PNG mask), GET /healthz')
     parser.add_argument('--poll', default=2.0, type=float,
                         help='Watch-mode poll interval (seconds)')
     parser.add_argument('--once', action='store_true',
@@ -304,8 +403,9 @@ def patchgan_serve(argv=None):
                         choices=['auto', 'float32', 'bfloat16'])
     args = parser.parse_args(argv)
 
-    if bool(args.watch) == bool(args.stdin):
-        parser.error('exactly one of --watch / --stdin is required')
+    if sum(map(bool, (args.watch, args.stdin, args.http))) != 1:
+        parser.error(
+            'exactly one of --watch / --stdin / --http is required')
 
     from .common import compute_dtype, select_device
     from ..utils.config import load_config
@@ -319,7 +419,9 @@ def patchgan_serve(argv=None):
     print(f"Serving with {platform} ({mode} mode) -> {output_path}",
           flush=True)
 
-    if args.stdin:
+    if args.http:
+        _http_loop(engine, mode, args.http)
+    elif args.stdin:
         _stdin_loop(engine, mode, output_path, workers=args.workers)
     else:
         return _watch_loop(engine, mode, output_path, args.watch,

@@ -334,3 +334,68 @@ def test_serve_cli_batch_warmup_and_corrupt_file(coco_tree, capsys):
     assert n == 3  # the three good images, despite the corrupt one
     assert 'batch 3' in out  # grouped through one bucketed forward
     assert len(os.listdir(coco_tree / 'served_b')) == 3
+
+
+def test_serve_http_endpoint():
+    """patchgan_serve --http: POST /predict returns the PNG mask with
+    the save_mask encoding, GET /healthz answers ok, a bad body gets
+    400 (and never takes the server down). Uses a duck-typed engine --
+    the HTTP layer only calls predict_image."""
+    import io
+    import threading
+    import urllib.request
+    import urllib.error
+
+    from patchgan_tpu.cli.serve import _http_loop
+
+    class DummyEngine:
+        def predict_image(self, image, mode='tiled'):
+            return image[..., 0]  # float32 [0,1] -> uint8*255 PNG
+
+    ready = threading.Event()
+    captured = {}
+
+    def on_ready(server):
+        captured['server'] = server
+        ready.set()
+
+    th = threading.Thread(
+        target=_http_loop,
+        args=(DummyEngine(), 'tiled', '127.0.0.1:0'),
+        kwargs={'server_ready': on_ready}, daemon=True)
+    th.start()
+    assert ready.wait(timeout=10)
+    host, port = captured['server'].server_address
+    base = f'http://{host}:{port}'
+    try:
+        assert urllib.request.urlopen(
+            f'{base}/healthz', timeout=10).read() == b'ok'
+
+        rng = np.random.default_rng(0)
+        img = (rng.uniform(size=(40, 50, 3)) * 255).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, 'PNG')
+        resp = urllib.request.urlopen(urllib.request.Request(
+            f'{base}/predict', data=buf.getvalue(), method='POST'),
+            timeout=30)
+        assert resp.headers['Content-Type'] == 'image/png'
+        mask = np.asarray(Image.open(io.BytesIO(resp.read())))
+        assert mask.shape == (40, 50)
+        np.testing.assert_array_equal(
+            mask, np.clip(img[..., 0].astype(np.float32) / 255.0 * 255,
+                          0, 255).astype(np.uint8))
+
+        try:
+            urllib.request.urlopen(urllib.request.Request(
+                f'{base}/predict', data=b'not an image',
+                method='POST'), timeout=10)
+            raise AssertionError('expected HTTP 400')
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+        # still alive after the bad request
+        assert urllib.request.urlopen(
+            f'{base}/healthz', timeout=10).read() == b'ok'
+    finally:
+        captured['server'].shutdown()
+        th.join(timeout=10)
