@@ -58,6 +58,9 @@ def main():
     ap.add_argument('--nf', type=int, default=16)
     ap.add_argument('--dtype', default='bfloat16')
     ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('--s2d', action='store_true',
+                    help='train through the space-to-depth boundary '
+                         'form (the Trainer default; ops/s2d.py)')
     args = ap.parse_args()
     dtype = jnp.dtype(args.dtype)
 
@@ -67,8 +70,9 @@ def main():
     from patchgan_tpu.utils.metrics import iou
 
     gen = UNet(input_nc=3, output_nc=1, nf=args.nf, final_act='sigmoid',
-               dtype=dtype)
-    disc = Discriminator(input_nc=4, ndf=args.nf, n_layers=2, dtype=dtype)
+               dtype=dtype, s2d=args.s2d)
+    disc = Discriminator(input_nc=4, ndf=args.nf, n_layers=2, dtype=dtype,
+                         s2d=args.s2d)
     gen_tx = make_optimizer(2e-3)
     disc_tx = make_optimizer(2e-3)
     state = init_train_state(gen, disc, (1, SIZE, SIZE, 3), 1, gen_tx,
@@ -106,9 +110,13 @@ def main():
         done += n_take
     train_s = time.time() - t0
 
+    # identical parameter tree: eval through the plain form either way
+    gen_eval = gen.clone(s2d=False) if args.s2d else gen
+
     @jax.jit
     def predict(params, x):
-        return gen.apply({'params': params}, x.astype(dtype), train=False)
+        return gen_eval.apply({'params': params}, x.astype(dtype),
+                              train=False)
 
     pred = np.asarray(predict(state.g_params, jnp.asarray(x_ev)),
                       np.float32)
