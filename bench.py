@@ -52,7 +52,7 @@ REPS = 3
 A100_TORCH_ANCHOR_IMG_S = 550.0  # derived; see module docstring
 
 
-def build():
+def build(batch=BATCH):
     from patchgan_tpu.models import Discriminator, UNet
     from patchgan_tpu.train.steps import (init_train_state, make_optimizer,
                                           make_train_step)
@@ -75,9 +75,9 @@ def build():
     # x/y are jit ARGUMENTS: captured device arrays would be baked into
     # the program as constants, which the remote-compile path serialises
     # and constant-folds at a large compile-time cost
-    x = jax.device_put(rng.uniform(size=(BATCH, SIZE, SIZE, 3))
+    x = jax.device_put(rng.uniform(size=(batch, SIZE, SIZE, 3))
                        .astype(np.float32))
-    y = jax.device_put((rng.uniform(size=(BATCH, SIZE, SIZE, 1)) > 0.5)
+    y = jax.device_put((rng.uniform(size=(batch, SIZE, SIZE, 1)) > 0.5)
                        .astype(np.float32))
     return state, step, x, y
 
@@ -137,10 +137,13 @@ def scan_step_time(state, step, x, y):
 def main():
     mode = 'scan' if '--mode' in sys.argv and \
         sys.argv[sys.argv.index('--mode') + 1] == 'scan' else 'eager'
-    state, step, x, y = build()
+    batch = int(sys.argv[sys.argv.index('--batch') + 1]) \
+        if '--batch' in sys.argv else BATCH  # e.g. --batch 32, the
+    #   documented recommended throughput config (BENCHMARKS.md)
+    state, step, x, y = build(batch)
     dt = (scan_step_time if mode == 'scan' else eager_step_time)(
         state, step, x, y)
-    img_s = BATCH / dt
+    img_s = batch / dt
     print(json.dumps({
         'metric': 'train_images_per_sec_per_chip',
         'value': round(img_s, 2),
