@@ -331,6 +331,40 @@ def test_preemption_resume_matches_uninterrupted(tmp_path, rng):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_preemption_resume_mid_accumulation_window(tmp_path, rng):
+    """Exact mid-epoch resume must hold while a gradient-accumulation
+    window is OPEN: with accumulate_steps=2 and preemption at batch 3,
+    the running mean gradient (optax.MultiSteps acc_grads) and the
+    mini-step counter live in the saved optimizer state and must be
+    restored bit-identically, or the 4th batch applies a wrong
+    update."""
+    batches = synth_loader(rng, 4, 2)
+    val = batches[:1]
+
+    ref = make_trainer(tmp_path / 'a')
+    ref.accumulate_steps = 2
+    ref.train(list(batches), val, epochs=2, save_freq=10)
+    ref_params = jax.device_get(ref.state.g_params)
+
+    pre = make_trainer(tmp_path / 'b')
+    pre.accumulate_steps = 2
+    pre.save_every_steps = 1
+    with pytest.raises(KeyboardInterrupt):
+        pre.train(PreemptibleLoader(batches, fail_at=4), val, epochs=2,
+                  save_freq=10)
+
+    cont = make_trainer(tmp_path / 'b', seed=999)
+    cont.accumulate_steps = 2
+    cont.load_last_checkpoint()
+    assert cont._resume_skip_batches == 3  # mid-window (applies at 2, 4)
+    cont.train(list(batches), val, epochs=2, save_freq=10)
+    cont_params = jax.device_get(cont.state.g_params)
+
+    for a, b in zip(jax.tree_util.tree_leaves(ref_params),
+                    jax.tree_util.tree_leaves(cont_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_preemption_resume_through_orbax(tmp_path, rng):
     """The rolling step checkpoint also works through the async orbax
     store (checkpoint_format='orbax')."""
