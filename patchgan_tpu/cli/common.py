@@ -34,6 +34,15 @@ def build_dataset_factory(dataset_params):
         labels = dataset_params.get('labels', [1])
         out_channels = len(labels)
         kwargs['labels'] = labels
+    elif dataset_params['type'] == 'TarShards':
+        # webdataset-style tar shards (data/shards.py): the images
+        # path(s) are tar files / globs; masks live inside the shards
+        from ..data.shards import TarShardDataset
+        cls = TarShardDataset
+        in_channels = 3
+        labels = dataset_params.get('labels', [1])
+        out_channels = len(labels)
+        kwargs['labels'] = labels
     else:
         cls = load_dataset_class(dataset_params['type'])
         in_channels = dataset_params.get('in_channels', 3)

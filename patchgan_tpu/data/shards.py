@@ -1,0 +1,175 @@
+"""WebDataset-style tar-shard input path.
+
+Production TPU training reads tar shards rather than globbing
+million-file directories: listing cost is O(shards) instead of
+O(files), blob stores serve large sequential tar reads far better than
+many small files, and under multi-process jax each host's
+``process_local_range`` slice (data/loader.py) touches only its own
+contiguous run of shards. The reference has no analog (its
+COCOStuffDataset globs two folders, /root/reference/patchgan/io.py:
+14-15); this dataset is a drop-in for it: same constructor shape, same
+labels/one-hot semantics, same loader protocol (``load_raw_u8`` /
+``load_raw``), same inference protocol (``get_filename`` /
+``save_mask`` / ``get_image``).
+
+Shard format: each shard is an (optionally gzip'd) ``.tar`` whose
+members pair ``<id>.jpg`` (RGB image) with ``<id>.png`` (grayscale
+labelmap) by basename, in any member order. Masks may be absent for
+inference-only shards. Pairs are globally ordered by (shard path,
+basename), so epoch order is deterministic across hosts.
+"""
+
+import glob as _glob
+import io
+import os
+import tarfile
+import threading
+
+import numpy as np
+from PIL import Image
+
+from .coco import COCOStuffDataset
+
+__all__ = ['TarShardDataset']
+
+
+def _stem(name):
+    return os.path.splitext(os.path.basename(name))[0]
+
+
+class TarShardDataset:
+    augmentation = None
+
+    def __init__(self, shards, maskfolder=None, labels=(1,), size=256,
+                 augmentation='resize'):
+        """``shards``: a tar path, a glob pattern, or a list of tar
+        paths. ``maskfolder`` is accepted for dataset-factory signature
+        compatibility (cli/common.py) and ignored -- masks live inside
+        the shards."""
+        if isinstance(shards, str):
+            paths = sorted(_glob.glob(shards)) \
+                if any(c in shards for c in '*?[') else [shards]
+        else:
+            paths = sorted(shards)
+        if not paths:
+            raise FileNotFoundError(f"No tar shards match {shards!r}")
+        self.shards = paths
+        self.size = size
+        self.labels = np.sort(np.asarray(labels))
+        self.augmentation = augmentation
+
+        # index pass: tar headers only, one sequential scan per shard
+        self._index = []  # (shard_i, jpg_member, png_member_or_None)
+        for si, path in enumerate(paths):
+            with tarfile.open(path) as tf:
+                names = [m.name for m in tf.getmembers() if m.isfile()]
+            jpgs = {_stem(n): n for n in names
+                    if n.lower().endswith(('.jpg', '.jpeg'))}
+            pngs = {_stem(n): n for n in names
+                    if n.lower().endswith('.png')}
+            for stem in sorted(jpgs):
+                self._index.append((si, jpgs[stem], pngs.get(stem)))
+        self._local = threading.local()  # per-thread open tar handles
+        print(f"Loaded {len(self)} images from {len(paths)} shards")
+
+    # tar handles are neither thread-safe nor picklable: keep one per
+    # worker thread, drop them when the dataset ships to a process pool
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state['_local'] = None
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._local = threading.local()
+
+    def _tar(self, shard_i):
+        if getattr(self._local, 'handles', None) is None:
+            self._local.handles = {}
+        tf = self._local.handles.get(shard_i)
+        if tf is None:
+            tf = tarfile.open(self.shards[shard_i])
+            self._local.handles[shard_i] = tf
+        return tf
+
+    def _bytes(self, shard_i, member):
+        return self._tar(shard_i).extractfile(member).read()
+
+    def __len__(self):
+        return len(self._index)
+
+    # ------------------------------------------------------------------
+    # host decode path (loader protocol; mirrors data/coco.py semantics
+    # including the deliberate NEAREST mask resize)
+    # ------------------------------------------------------------------
+    def _resize_enabled(self):
+        return self.augmentation in ('randomcrop', 'randomcrop+flip')
+
+    def _flip_enabled(self):
+        return self.augmentation == 'randomcrop+flip'
+
+    def _decode_image_u8(self, shard_i, member, resize):
+        img = Image.open(io.BytesIO(self._bytes(shard_i, member))) \
+            .convert('RGB')
+        if resize:
+            img = img.resize((self.size, self.size), Image.BILINEAR)
+        return np.asarray(img, np.uint8)
+
+    def _decode_mask_u8(self, shard_i, member, resize):
+        mask = Image.open(io.BytesIO(self._bytes(shard_i, member))) \
+            .convert('L')
+        if resize:
+            mask = mask.resize((self.size, self.size), Image.NEAREST)
+        return np.asarray(mask, np.uint8)
+
+    def load_raw_u8(self, index):
+        """(uint8 HWC image, uint8 HW RAW labelmap) -- the
+        transfer-optimal loader path (normalise/one-hot/flip run on
+        device; the label table is offset there, see loader.py)."""
+        si, jpg, png = self._index[index]
+        if png is None:
+            raise KeyError(
+                f"shard member {jpg!r} has no paired .png mask")
+        resize = self._resize_enabled()
+        return (self._decode_image_u8(si, jpg, resize),
+                self._decode_mask_u8(si, png, resize))
+
+    def load_raw(self, index):
+        """(image HWC float32 in [0,1], labelmap HW int32 of PNG values
+        + 1) -- reference labelmap semantics (io.py:42-43)."""
+        image, labelmap = self.load_raw_u8(index)
+        return (image.astype(np.float32) / 255.0,
+                labelmap.astype(np.int32) + 1)
+
+    def one_hot(self, labelmap):
+        return (labelmap[:, :, None]
+                == self.labels[None, None, :]).astype(np.float32)
+
+    def __getitem__(self, index):
+        """Full host path for API/plugin compatibility (same contract
+        as data/coco.py __getitem__)."""
+        image, labelmap = self.load_raw(index)
+        if self._flip_enabled():
+            if np.random.uniform() < 0.25:
+                image = image[:, ::-1]
+                labelmap = labelmap[:, ::-1]
+            if np.random.uniform() < 0.25:
+                image = image[::-1]
+                labelmap = labelmap[::-1]
+        return np.ascontiguousarray(image), self.one_hot(
+            np.ascontiguousarray(labelmap))
+
+    # ------------------------------------------------------------------
+    # inference protocol (reference infer.py:119-123)
+    # ------------------------------------------------------------------
+    def get_filename(self, index):
+        return os.path.basename(self._index[index][1])
+
+    save_mask = staticmethod(COCOStuffDataset.save_mask)
+
+    def get_image(self, index):
+        """HWC float32 in [0,1], original resolution (tiling handles
+        arbitrary sizes)."""
+        si, jpg, _ = self._index[index]
+        return (self._decode_image_u8(si, jpg, resize=False)
+                .astype(np.float32) / 255.0)
