@@ -49,7 +49,6 @@ class InferenceEngine:
     def __init__(self, generator, g_params, size=256, overlap=0.9,
                  threshold=0, batch_size=16, mesh=None, dtype=None):
         self.generator = generator
-        self.g_params = g_params
         self.size = size
         self.overlap = overlap
         self.threshold = threshold
@@ -58,6 +57,19 @@ class InferenceEngine:
         # keep the bucket a multiple of the mesh size so crop batches
         # shard evenly across devices
         self.batch_size = _round_up(batch_size, self.n_devices)
+
+        # weights live on device ONCE. Callers typically hand over a
+        # host-numpy tree (the checkpoint/transfer path); numpy jit
+        # ARGUMENTS are re-uploaded on EVERY dispatch -- ~100 MB/call
+        # for the nf=64 generator (measured: multi-second /predict
+        # requests through a remote-TPU relay; ~50 ms PCIe even
+        # locally). Replicated across the mesh when present so sharded
+        # tile batches find the weights on every device.
+        if mesh is not None and self.n_devices > 1:
+            from ..parallel.mesh import replicate
+            self.g_params = replicate(g_params, mesh)
+        else:
+            self.g_params = jax.device_put(g_params)
 
         # the engine accepts either form of the module (identical
         # parameter tree either way) and derives what it needs

@@ -214,3 +214,31 @@ def test_predict_image_smaller_than_tile():
         outs = engine.predict_images([img, img])
         assert all(o.shape == (h, w) for o in outs)
         np.testing.assert_allclose(outs[0], out, atol=1e-6)
+
+
+def test_engine_places_params_on_device_once():
+    """Host-numpy checkpoint params must be device_put at engine
+    construction: numpy jit arguments re-upload the whole tree on
+    every forward (measured multi-second /predict latencies through a
+    remote-TPU relay before the fix)."""
+    import jax
+
+    from patchgan_tpu.inference.engine import InferenceEngine
+    from patchgan_tpu.models import UNet
+
+    gen = UNet(input_nc=3, output_nc=1, nf=2, final_act='sigmoid')
+    params = jax.tree.map(
+        lambda x: np.asarray(x),
+        gen.init(jax.random.PRNGKey(0),
+                 np.zeros((1, 128, 128, 3), np.float32))['params'])
+    eng = InferenceEngine(gen, params, size=128, batch_size=4)
+    for leaf in jax.tree.leaves(eng.g_params):
+        assert isinstance(leaf, jax.Array)
+    # multi-device: params replicate across the mesh
+    from patchgan_tpu.parallel.mesh import default_mesh
+    mesh = default_mesh()
+    if mesh.devices.size > 1:
+        eng_m = InferenceEngine(gen, params, size=128, batch_size=8,
+                                mesh=mesh)
+        leaf = jax.tree.leaves(eng_m.g_params)[0]
+        assert len(leaf.sharding.device_set) == mesh.devices.size
