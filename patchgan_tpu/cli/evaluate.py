@@ -89,6 +89,9 @@ def patchgan_eval(argv=None):
         raise ValueError(
             f"Generator checkpoint mismatch: {count}/"
             f"{len(unet_key_map())} weights loaded")
+    # on device ONCE: numpy jit arguments re-upload the whole weight
+    # tree every batch (see inference/engine.py for the measured cost)
+    g_params = jax.device_put(g_params)
 
     from ..utils.metrics import boundary_f1, dice, iou
 
