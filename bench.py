@@ -101,13 +101,21 @@ def eager_step_time(state, step, x, y):
         return state
 
     state = run(state, 2)  # compile + settle formats
-    best = [float('inf'), float('inf')]
+    # per-rep differentials: pairing each rep's SHORT with ITS OWN LONG
+    # keeps the estimate an actual (noisy) measurement of step time;
+    # independently-minimized SHORT and LONG from different reps bias
+    # low under relay jitter and can even go negative (ADVICE round 3)
+    dts = []
     for _ in range(REPS):
-        for i, n in enumerate((SHORT, LONG)):
+        wall = []
+        for n in (SHORT, LONG):
             t0 = time.perf_counter()
             state = run(state, n)
-            best[i] = min(best[i], time.perf_counter() - t0)
-    return (best[1] - best[0]) / (LONG - SHORT)
+            wall.append(time.perf_counter() - t0)
+        dts.append((wall[1] - wall[0]) / (LONG - SHORT))
+    dt = min(d for d in dts if d > 0) if any(d > 0 for d in dts) else None
+    assert dt is not None, f"all differential reps non-positive: {dts}"
+    return dt
 
 
 def scan_step_time(state, step, x, y):

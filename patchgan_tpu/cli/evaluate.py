@@ -120,8 +120,13 @@ def patchgan_eval(argv=None):
         for m in wanted:
             scores[m].append(float(vals[m]))
         weights.append(int(np.shape(x)[0]))
-    means = {m: (float(np.average(scores[m], weights=weights))
-                 if weights else float('nan')) for m in wanted}
+    if not weights:
+        raise ValueError(
+            "Evaluation dataset is empty: the configured data "
+            "folders/shards yielded zero image/mask pairs, so no "
+            "metrics can be computed")
+    means = {m: float(np.average(scores[m], weights=weights))
+             for m in wanted}
 
     result = {
         'metric': 'mean_iou',

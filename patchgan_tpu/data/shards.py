@@ -34,7 +34,15 @@ __all__ = ['TarShardDataset']
 
 
 def _stem(name):
-    return os.path.splitext(os.path.basename(name))[0]
+    # full path minus extension: basename-only keys silently collide
+    # across subdirectories within one tar (a/0001.jpg vs b/0001.jpg),
+    # dropping an image or pairing a mask with the wrong one
+    return os.path.splitext(name)[0]
+
+
+# per-thread open tar handle budget: unbounded caching accumulates
+# shards x workers descriptors over a long run and can hit the fd limit
+_MAX_OPEN_TARS = 8
 
 
 class TarShardDataset:
@@ -63,10 +71,19 @@ class TarShardDataset:
         for si, path in enumerate(paths):
             with tarfile.open(path) as tf:
                 names = [m.name for m in tf.getmembers() if m.isfile()]
-            jpgs = {_stem(n): n for n in names
-                    if n.lower().endswith(('.jpg', '.jpeg'))}
-            pngs = {_stem(n): n for n in names
-                    if n.lower().endswith('.png')}
+            jpgs, pngs = {}, {}
+            for n in names:
+                lower = n.lower()
+                table = jpgs if lower.endswith(('.jpg', '.jpeg')) else \
+                    pngs if lower.endswith('.png') else None
+                if table is None:
+                    continue
+                stem = _stem(n)
+                if stem in table:
+                    raise ValueError(
+                        f"duplicate member stem {stem!r} in shard "
+                        f"{path!r}: {table[stem]!r} vs {n!r}")
+                table[stem] = n
             for stem in sorted(jpgs):
                 self._index.append((si, jpgs[stem], pngs.get(stem)))
         self._local = threading.local()  # per-thread open tar handles
@@ -84,12 +101,19 @@ class TarShardDataset:
         self._local = threading.local()
 
     def _tar(self, shard_i):
-        if getattr(self._local, 'handles', None) is None:
-            self._local.handles = {}
-        tf = self._local.handles.get(shard_i)
+        # small per-thread LRU of open handles (dict preserves insertion
+        # order): sequential access touches one shard at a time, so a
+        # handful of slots covers the common case while bounding fds
+        handles = getattr(self._local, 'handles', None)
+        if handles is None:
+            handles = self._local.handles = {}
+        tf = handles.pop(shard_i, None)
         if tf is None:
             tf = tarfile.open(self.shards[shard_i])
-            self._local.handles[shard_i] = tf
+            while len(handles) >= _MAX_OPEN_TARS:
+                lru_key = next(iter(handles))
+                handles.pop(lru_key).close()
+        handles[shard_i] = tf  # re-insert = move to MRU position
         return tf
 
     def _bytes(self, shard_i, member):

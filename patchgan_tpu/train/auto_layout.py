@@ -55,12 +55,16 @@ class AutoLayoutStep:
         self._fallback = fallback  # plain jitted step
         self._cache = {}  # (x.shape, x.dtype, y.shape, y.dtype) ->
         #                   (compiled, state_fmt) or None (= use fallback)
-        self._last_out = None  # weakref to the .step array of the state
-        #   we last returned: that state is by construction already in
-        #   the chosen formats (output formats == input formats, checked
-        #   at compile), so the steady-state path skips the per-leaf
-        #   format walk (a ~200-leaf tree walk per dispatch is real host
-        #   time on small-core hosts)
+        self._last_out = None  # (cache key, weakref to the .step array)
+        #   of the state we last returned: that state is by construction
+        #   already in the formats chosen for THAT batch signature
+        #   (output formats == input formats, checked at compile), so the
+        #   steady-state path skips the per-leaf format walk (a ~200-leaf
+        #   tree walk per dispatch is real host time on small-core
+        #   hosts). The key must match too: different batch signatures
+        #   compile different programs that may choose different layouts,
+        #   so a state returned by one entry is NOT format-settled for
+        #   another (ADVICE round 3).
 
     def _compile(self, state, x, y):
         from jax.experimental.layout import Format, Layout
@@ -88,15 +92,18 @@ class AutoLayoutStep:
         if entry is None:
             return self._fallback(state, x, y)
         compiled, state_fmt = entry
-        last = self._last_out() if self._last_out is not None else None
+        last = None
+        if self._last_out is not None and self._last_out[0] == key:
+            last = self._last_out[1]()
         if getattr(state, 'step', None) is not last and \
                 not _formats_match(state, state_fmt):
-            # first step, resume, or an LR epoch-update touched leaves:
-            # one relayouting device_put, then donation keeps formats
+            # first step, resume, batch-signature change, or an LR
+            # epoch-update touched leaves: one relayouting device_put,
+            # then donation keeps formats
             state = jax.device_put(state, state_fmt)
         out = compiled(state, x, y)
         try:
-            self._last_out = weakref.ref(out[0].step)
+            self._last_out = (key, weakref.ref(out[0].step))
         except TypeError:  # state type without a weakref-able .step
             self._last_out = None
         return out

@@ -386,7 +386,9 @@ class Trainer:
             loss_mean, _, _ = self._run_epoch(
                 val_data, train=False, desc='Validation: ')
 
-            if self.neptune_config is not None:
+            # loss_mean can be empty (empty validation loader) -- same
+            # guard as the train side above
+            if self.neptune_config is not None and loss_mean:
                 self.neptune_config['eval/gen_loss'].append(
                     loss_mean['gen'])
                 self.neptune_config['eval/disc_loss'].append(

@@ -604,6 +604,73 @@ def test_tar_shards_pickle_and_infer_protocol(tar_shards):
     assert 0.0 <= img.min() and img.max() <= 1.0
 
 
+def test_tar_shards_subdir_stems_and_duplicates(coco_dir, tmp_path):
+    """Pair keys are the full member path minus extension: members in
+    different subdirectories of one tar are DISTINCT pairs (basename
+    keys would silently drop one and could mispair masks), and a true
+    duplicate stem raises instead of silently losing data (ADVICE
+    round 3)."""
+    import os
+    import tarfile
+
+    from patchgan_tpu.data import TarShardDataset
+
+    imgdir, maskdir = coco_dir
+    tar_path = tmp_path / 'subdirs.tar'
+    with tarfile.open(tar_path, 'w') as tf:
+        for sub, i in (('a', 0), ('b', 1)):
+            tf.add(os.path.join(imgdir, f'{i:012d}.jpg'),
+                   arcname=f'{sub}/0001.jpg')
+            tf.add(os.path.join(maskdir, f'{i:012d}.png'),
+                   arcname=f'{sub}/0001.png')
+    ds = TarShardDataset(str(tar_path), labels=[1, 2, 3], size=32)
+    assert len(ds) == 2
+    (ia, ma), (ib, mb) = ds.load_raw_u8(0), ds.load_raw_u8(1)
+    assert not np.array_equal(ia, ib)  # two distinct source images
+    # each image kept ITS OWN mask (a/0001.png with a/0001.jpg)
+    ref = COCOStuffDataset(*coco_dir, labels=[1, 2, 3], size=32)
+    np.testing.assert_array_equal(ma, ref.load_raw_u8(0)[1])
+    np.testing.assert_array_equal(mb, ref.load_raw_u8(1)[1])
+
+    dup = tmp_path / 'dup.tar'
+    with tarfile.open(dup, 'w') as tf:
+        tf.add(os.path.join(imgdir, '000000000000.jpg'), arcname='x.jpg')
+        tf.add(os.path.join(imgdir, '000000000001.jpg'), arcname='x.jpg')
+    with pytest.raises(ValueError, match='duplicate member stem'):
+        TarShardDataset(str(dup), labels=[1], size=32)
+
+
+def test_tar_shards_handle_cache_bounded(coco_dir, tmp_path):
+    """The per-thread open-tar LRU stays within its budget while every
+    shard remains readable (unbounded caching leaks fds on long runs,
+    ADVICE round 3)."""
+    import os
+    import tarfile
+
+    from patchgan_tpu.data import TarShardDataset
+    from patchgan_tpu.data.shards import _MAX_OPEN_TARS
+
+    imgdir, maskdir = coco_dir
+    n_shards = _MAX_OPEN_TARS + 4
+    shard_dir = tmp_path / 'many'
+    shard_dir.mkdir()
+    for si in range(n_shards):
+        i = si % 8
+        with tarfile.open(shard_dir / f's-{si:02d}.tar', 'w') as tf:
+            tf.add(os.path.join(imgdir, f'{i:012d}.jpg'),
+                   arcname=f'{si:02d}.jpg')
+            tf.add(os.path.join(maskdir, f'{i:012d}.png'),
+                   arcname=f'{si:02d}.png')
+    ds = TarShardDataset(str(shard_dir / 's-*.tar'), labels=[1], size=32)
+    assert len(ds) == n_shards
+    for idx in range(n_shards):
+        ds.load_raw_u8(idx)
+        assert len(ds._local.handles) <= _MAX_OPEN_TARS
+    # wrap around: evicted shards reopen transparently
+    ds.load_raw_u8(0)
+    assert len(ds._local.handles) <= _MAX_OPEN_TARS
+
+
 def test_tar_shards_factory_and_missing(tmp_path):
     from patchgan_tpu.cli.common import build_dataset_factory
     from patchgan_tpu.data import TarShardDataset
