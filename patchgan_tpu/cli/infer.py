@@ -122,7 +122,10 @@ def patchgan_infer(argv=None):
         return image
 
     # decode runs in a thread pool with a bounded look-ahead window so
-    # the device never waits on the host decoder but memory stays flat
+    # the device never waits on the host decoder but memory stays flat;
+    # the mask fetch+save of image i-1 happens AFTER image i's whole
+    # tiled pipeline is dispatched (predict_image_async), so host
+    # decode/PNG-encode and the device forward/stitch overlap
     from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 
@@ -132,6 +135,7 @@ def patchgan_infer(argv=None):
         pending = deque(pool.submit(fetch, i)
                         for i in range(min(2 * workers, n)))
         next_submit = len(pending)
+        prev = None  # (mask handle, output filename) of image i-1
         for i in tqdm.tqdm(range(n), desc='Predicting',
                            dynamic_ncols=True, ascii=True):
             image = pending.popleft().result()
@@ -139,8 +143,23 @@ def patchgan_infer(argv=None):
                 pending.append(pool.submit(fetch, next_submit))
                 next_submit += 1
             out_fname, _ = os.path.splitext(datagen.get_filename(i))
-            mask = engine.predict_image(image, mode=mode)
-            Dataset.save_mask(mask, output_path, out_fname)
+            if mode == 'tiled':
+                handle = engine.predict_image_async(image)
+            else:
+                handle = _Ready(engine.predict_image(image, mode=mode))
+            if prev is not None:
+                Dataset.save_mask(prev[0].result(), output_path, prev[1])
+            prev = (handle, out_fname)
+        if prev is not None:
+            Dataset.save_mask(prev[0].result(), output_path, prev[1])
+
+
+class _Ready:
+    def __init__(self, mask):
+        self._mask = mask
+
+    def result(self):
+        return self._mask
 
 
 if __name__ == '__main__':

@@ -7,6 +7,21 @@ are padded up to a fixed bucket size and run through a single jitted
 forward, so arbitrary image sizes reuse one compiled program; padding
 tiles are discarded before stitching.
 
+The DEFAULT single-device path goes further and keeps the whole image
+pipeline on device as ONE compiled program per image signature
+(PATCHGAN_DEVICE_STITCH=off opts out): tiles are gathered by
+``vmap(dynamic_slice)`` from the resident image, the forward runs in
+bucket-size chunks under ``lax.scan`` (bounding activation memory to
+one bucket), the averaging stitch is a sequential scatter-add of
+``dynamic_update_slice`` pairs in the scan carry (XLA performs these
+in place), and threshold/argmax run on device -- so each image costs
+one dispatch plus one host fetch of the final (H, W) mask, instead of
+per-bucket fetches and a host numpy stitch (reference semantics:
+infer.py:37-68; measured 0.5 masks/s host-stitched through the axon
+relay, BENCHMARKS.md "Large-image inference"). ``predict_image_async``
+exposes the dispatch/fetch split so callers can pipeline decode and
+mask-save of neighbouring images against device compute.
+
 With a multi-device mesh, tile batches are laid out sharded across the
 ``data`` axis, so one oversized image's tiles are segmented across the
 whole slice in parallel -- the TPU-native replacement for the
@@ -17,10 +32,11 @@ analog).
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..parallel.mesh import shard_batch
-from .tiling import build_mask, n_crop
+from .tiling import build_mask, crop_positions, n_crop
 
 
 def _round_up(n, m):
@@ -43,6 +59,26 @@ def _pad_min_size(image, size):
     image = np.pad(image, ((0, max(0, size - h)), (0, max(0, size - w)),
                            (0, 0)), mode='edge')
     return image, (h, w)
+
+
+class _PendingMask:
+    """In-flight device mask: ``.result()`` = the one host fetch."""
+
+    def __init__(self, dev, h, w):
+        self._dev, self._h, self._w = dev, h, w
+
+    def result(self):
+        return np.asarray(self._dev)[:self._h, :self._w]
+
+
+class _ReadyMask:
+    """Host-path result wrapped in the same handle interface."""
+
+    def __init__(self, mask):
+        self._mask = mask
+
+    def result(self):
+        return self._mask
 
 
 class InferenceEngine:
@@ -103,11 +139,22 @@ class InferenceEngine:
                                     space_to_depth(x), train=False)
                 return depth_to_space(out)
 
+            self._fwd_raw = s2d_fwd
             self._forward = jax.jit(s2d_fwd)
             self._forward_spatial = jax.jit(plain_fwd)
         else:
+            self._fwd_raw = plain_fwd
             self._forward = jax.jit(plain_fwd)
             self._forward_spatial = self._forward
+
+        # on-device tiled pipeline (gather + forward + stitch as one
+        # program, module docstring): default on for single-device
+        # meshes; multi-device keeps the sharded-tile host-stitch path
+        self._device_stitch = (
+            os.environ.get('PATCHGAN_DEVICE_STITCH', 'on').lower()
+            not in ('off', '0', 'false')
+            and self.n_devices == 1)
+        self._dev_programs = {}  # (canvas_hw, c_in, n_chunks) -> jitted
 
     def _place(self, crops):
         if self.mesh is not None and self.n_devices > 1:
@@ -130,6 +177,105 @@ class InferenceEngine:
                 for i in range(0, padded, bs)]
         return np.concatenate([np.asarray(o) for o in outs], axis=0)[:n]
 
+    # ------------------------------------------------------- on-device
+    def _tiled_program(self, canvas_hw, c_in, n_chunks, bs):
+        """One compiled program per (padded image shape, chunk count):
+        gather -> chunked forward -> scatter-add stitch -> postprocess.
+        Reference stitch semantics (infer.py:37-68) with the Q6 fix;
+        the scan's tile order equals the host loop's, so the float
+        accumulation order matches build_mask exactly."""
+        key = (canvas_hw, c_in, n_chunks, bs)
+        prog = self._dev_programs.get(key)
+        if prog is not None:
+            return prog
+        size, threshold = self.size, self.threshold
+        fwd = self._fwd_raw
+        hp, wp = canvas_hw
+        out_c = jax.eval_shape(
+            fwd, jax.tree.map(
+                lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+                self.g_params),
+            jax.ShapeDtypeStruct((bs, size, size, c_in),
+                                 jnp.float32)).shape[-1]
+
+        def run(params, image, positions, valid):
+            # image (hp, wp, c_in) f32; positions (n_chunks, bs, 2)
+            # int32 tile corners; valid (n_chunks, bs) f32 -- 0 for the
+            # bucket-padding tiles, which then contribute to neither
+            # canvas nor count
+            canvas = jnp.zeros((hp, wp, out_c), jnp.float32)
+            count = jnp.zeros((hp, wp, 1), jnp.float32)
+
+            def gather(p):
+                return jax.lax.dynamic_slice(
+                    image, (p[0], p[1], 0), (size, size, c_in))
+
+            def add_tile(carry, tile):
+                canvas, count = carry
+                p, pred, v = tile
+                cur = jax.lax.dynamic_slice(
+                    canvas, (p[0], p[1], 0), (size, size, out_c))
+                canvas = jax.lax.dynamic_update_slice(
+                    canvas, cur + pred, (p[0], p[1], 0))
+                cnt = jax.lax.dynamic_slice(
+                    count, (p[0], p[1], 0), (size, size, 1))
+                count = jax.lax.dynamic_update_slice(
+                    count, cnt + v, (p[0], p[1], 0))
+                return (canvas, count), None
+
+            def chunk(carry, inp):
+                pos, val = inp
+                tiles = jax.vmap(gather)(pos)
+                preds = fwd(params, tiles).astype(jnp.float32)
+                preds = preds * val[:, None, None, None]
+                return jax.lax.scan(add_tile, carry, (pos, preds, val))
+
+            (canvas, count), _ = jax.lax.scan(
+                chunk, (canvas, count), (positions, valid))
+            # full coverage guarantees count >= 1 on every real pixel;
+            # the max(.,1) only protects nothing-written corners that a
+            # caller-side crop discards anyway
+            avg = canvas / jnp.maximum(count, 1.0)
+            if threshold > 0:
+                avg = jnp.where(avg >= threshold, 1.0, 0.0)
+            if out_c > 1:
+                return jnp.argmax(avg, axis=-1)
+            return avg[..., 0]
+
+        prog = jax.jit(run)
+        self._dev_programs[key] = prog
+        return prog
+
+    def predict_image_async(self, image):
+        """Dispatch one image's FULL tiled pipeline as a single device
+        program and return a handle whose ``.result()`` performs the
+        one host fetch (and crops edge-padding for images smaller than
+        the tile). Lets callers overlap decode/save of neighbouring
+        images with device compute (cli/infer.py)."""
+        image, (h, w) = _pad_min_size(
+            np.asarray(image, dtype=np.float32), self.size)
+        if not self._device_stitch:
+            crops = n_crop(image, self.size, self.overlap)
+            masks = self.predict_tiles(crops)
+            return _ReadyMask(build_mask(
+                masks, self.size, image.shape[:2], self.threshold,
+                self.overlap)[:h, :w])
+        hp, wp, c_in = image.shape
+        pos = np.asarray(crop_positions(hp, wp, self.size, self.overlap),
+                         dtype=np.int32)
+        n = pos.shape[0]
+        bs = min(self.batch_size, _round_up(n, 8))
+        n_pad = _round_up(n, bs)
+        valid = np.zeros((n_pad,), np.float32)
+        valid[:n] = 1.0
+        pos = np.concatenate(
+            [pos, np.zeros((n_pad - n, 2), np.int32)], axis=0)
+        prog = self._tiled_program((hp, wp), c_in, n_pad // bs, bs)
+        dev = prog(self.g_params, image,
+                   pos.reshape(n_pad // bs, bs, 2),
+                   valid.reshape(n_pad // bs, bs))
+        return _PendingMask(dev, h, w)
+
     def predict_image(self, image, mode='tiled'):
         """(H, W, C) image of arbitrary size -> (H, W) mask.
 
@@ -144,12 +290,7 @@ class InferenceEngine:
         """
         if mode == 'spatial':
             return self.predict_image_spatial(image)
-        image, (h, w) = _pad_min_size(
-            np.asarray(image, dtype=np.float32), self.size)
-        crops = n_crop(image, self.size, self.overlap)
-        masks = self.predict_tiles(crops)
-        return build_mask(masks, self.size, image.shape[:2],
-                          self.threshold, self.overlap)[:h, :w]
+        return self.predict_image_async(image).result()
 
     def predict_images(self, images):
         """Batched tiled inference over SEVERAL images: all images'

@@ -216,6 +216,115 @@ def test_predict_image_smaller_than_tile():
         np.testing.assert_allclose(outs[0], out, atol=1e-6)
 
 
+class _ChannelsHead:
+    """Deterministic multi-channel head for stitch tests."""
+
+    def apply(self, variables, x, train=False):
+        import jax.numpy as jnp
+        return jnp.stack([x[..., 0], 1.0 - x[..., 0], x[..., 0] * 0.5],
+                         axis=-1)
+
+
+@pytest.mark.parametrize('shape,threshold', [
+    ((256, 256, 3), 0),      # square, plain averaging
+    ((200, 300, 3), 0),      # non-square (Q6 geometry)
+    ((200, 300, 3), 0.5),    # threshold-before-argmax ordering
+    ((100, 90, 3), 0),       # smaller than the tile (edge padding)
+])
+def test_device_stitch_matches_host(monkeypatch, shape, threshold):
+    """The on-device gather/forward/scatter-add/postprocess program
+    (PATCHGAN_DEVICE_STITCH, default on single-device) must reproduce
+    the host n_crop + build_mask path exactly -- same tile geometry,
+    same accumulation order, same threshold/argmax semantics
+    (reference infer.py:37-68)."""
+    img = np.random.default_rng(11).uniform(size=shape) \
+        .astype(np.float32)
+
+    monkeypatch.setenv('PATCHGAN_DEVICE_STITCH', 'on')
+    dev_engine = InferenceEngine(_ChannelsHead(), {}, size=128,
+                                 overlap=0.9, threshold=threshold,
+                                 batch_size=4)
+    assert dev_engine._device_stitch
+    got = dev_engine.predict_image(img)
+
+    monkeypatch.setenv('PATCHGAN_DEVICE_STITCH', 'off')
+    host_engine = InferenceEngine(_ChannelsHead(), {}, size=128,
+                                  overlap=0.9, threshold=threshold,
+                                  batch_size=4)
+    assert not host_engine._device_stitch
+    want = host_engine.predict_image(img)
+
+    assert got.shape == want.shape == shape[:2]
+    # multi-channel head -> argmax labels; must agree everywhere
+    np.testing.assert_array_equal(got, want)
+
+
+def test_device_stitch_single_channel_probabilities(monkeypatch):
+    """C=1 output returns the averaged probability map itself; the
+    device and host paths accumulate tiles in the same order, so the
+    float maps agree to rounding."""
+    class Head:
+        def apply(self, variables, x, train=False):
+            return x[..., :1] * 0.25 + 0.1
+
+    img = np.random.default_rng(12).uniform(size=(200, 260, 3)) \
+        .astype(np.float32)
+    monkeypatch.setenv('PATCHGAN_DEVICE_STITCH', 'on')
+    got = InferenceEngine(Head(), {}, size=128, overlap=0.9,
+                          batch_size=4).predict_image(img)
+    monkeypatch.setenv('PATCHGAN_DEVICE_STITCH', 'off')
+    want = InferenceEngine(Head(), {}, size=128, overlap=0.9,
+                           batch_size=4).predict_image(img)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_device_stitch_real_unet(monkeypatch):
+    """End-to-end with a real (tiny) UNet: the one-dispatch device
+    program matches the host-stitched reference path."""
+    import jax
+    import jax.numpy as jnp
+    from patchgan_tpu.models import UNet
+
+    gen = UNet(input_nc=3, output_nc=2, nf=4, final_act='softmax',
+               use_pallas=False)
+    params = gen.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 128, 128, 3)))['params']
+    img = np.random.default_rng(13).uniform(size=(180, 250, 3)) \
+        .astype(np.float32)
+
+    monkeypatch.setenv('PATCHGAN_DEVICE_STITCH', 'on')
+    got = InferenceEngine(gen, params, size=128, overlap=0.9,
+                          batch_size=4).predict_image(img)
+    monkeypatch.setenv('PATCHGAN_DEVICE_STITCH', 'off')
+    want = InferenceEngine(gen, params, size=128, overlap=0.9,
+                           batch_size=4).predict_image(img)
+    # argmax labels: bitwise-equal averages are not guaranteed across
+    # the two compiled programs, so allow disagreement only on a
+    # vanishing fraction of near-tie pixels
+    assert np.mean(got != want) < 1e-3
+
+
+def test_predict_image_async_pipeline(monkeypatch):
+    """predict_image_async returns in-flight handles; results match the
+    synchronous API and multiple dispatches can be in flight at once."""
+    class Head:
+        def apply(self, variables, x, train=False):
+            return x[..., :1] * 2.0
+
+    rng = np.random.default_rng(14)
+    images = [rng.uniform(size=(150, 200, 3)).astype(np.float32)
+              for _ in range(3)]
+    monkeypatch.setenv('PATCHGAN_DEVICE_STITCH', 'on')
+    engine = InferenceEngine(Head(), {}, size=128, overlap=0.9,
+                             batch_size=4)
+    handles = [engine.predict_image_async(im) for im in images]
+    for im, h in zip(images, handles):
+        np.testing.assert_allclose(h.result(), im[..., 0] * 2.0,
+                                   atol=1e-5)
+        np.testing.assert_allclose(h.result(),
+                                   engine.predict_image(im), atol=1e-6)
+
+
 def test_engine_places_params_on_device_once():
     """Host-numpy checkpoint params must be device_put at engine
     construction: numpy jit arguments re-upload the whole tree on
