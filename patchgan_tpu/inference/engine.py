@@ -62,13 +62,23 @@ def _pad_min_size(image, size):
 
 
 class _PendingMask:
-    """In-flight device mask: ``.result()`` = the one host fetch."""
+    """In-flight device mask: ``.result()`` = the one host fetch.
 
-    def __init__(self, dev, h, w):
+    ``cast`` restores the host-path dtype after a compact-dtype fetch:
+    the device program returns thresholded/argmax masks as uint8 (the
+    values are small integers either way) because the relay transfers
+    a (960, 1280) mask in 56 ms as uint8 vs 139 ms as float32
+    (measured round 4) -- then the host casts back so callers see the
+    same float32/int64 arrays as the host-stitch path.
+    """
+
+    def __init__(self, dev, h, w, cast=None):
         self._dev, self._h, self._w = dev, h, w
+        self._cast = cast
 
     def result(self):
-        return np.asarray(self._dev)[:self._h, :self._w]
+        arr = np.asarray(self._dev)[:self._h, :self._w]
+        return arr.astype(self._cast) if self._cast is not None else arr
 
 
 class _ReadyMask:
@@ -238,11 +248,24 @@ class InferenceEngine:
             avg = canvas / jnp.maximum(count, 1.0)
             if threshold > 0:
                 avg = jnp.where(avg >= threshold, 1.0, 0.0)
+            # compact the fetch: thresholded {0,1} and argmax labels are
+            # small ints -- ship them over the wire as uint8 (4x fewer
+            # bytes than f32; _PendingMask restores the host-path dtype)
             if out_c > 1:
-                return jnp.argmax(avg, axis=-1)
+                lab = jnp.argmax(avg, axis=-1)
+                return lab.astype(jnp.uint8) if out_c <= 256 else lab
+            if threshold > 0:
+                return avg[..., 0].astype(jnp.uint8)
             return avg[..., 0]
 
-        prog = jax.jit(run)
+        # host-path dtype to restore after the compact uint8 fetch
+        if out_c > 1 and out_c <= 256:
+            cast = np.int64      # np.argmax default in build_mask
+        elif out_c == 1 and threshold > 0:
+            cast = np.float32    # build_mask's binarised canvas
+        else:
+            cast = None
+        prog = (jax.jit(run), cast)
         self._dev_programs[key] = prog
         return prog
 
@@ -270,11 +293,11 @@ class InferenceEngine:
         valid[:n] = 1.0
         pos = np.concatenate(
             [pos, np.zeros((n_pad - n, 2), np.int32)], axis=0)
-        prog = self._tiled_program((hp, wp), c_in, n_pad // bs, bs)
+        prog, cast = self._tiled_program((hp, wp), c_in, n_pad // bs, bs)
         dev = prog(self.g_params, image,
                    pos.reshape(n_pad // bs, bs, 2),
                    valid.reshape(n_pad // bs, bs))
-        return _PendingMask(dev, h, w)
+        return _PendingMask(dev, h, w, cast)
 
     def predict_image(self, image, mode='tiled'):
         """(H, W, C) image of arbitrary size -> (H, W) mask.
