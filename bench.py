@@ -70,6 +70,16 @@ def build(batch=BATCH):
                              disc_tx, seed=0)
     step = make_train_step(gen, disc, gen_tx, disc_tx,
                            loss_type='tversky', seg_alpha=200.0)
+    # resident bf16 generator shadow, the Trainer's AUTO-path default
+    # (PATCHGAN_SHADOW_PARAMS=on; trainer.py _shadow_params) --
+    # bit-exact (tests/test_shadow_step.py)
+    import os
+    shadow_fn = None
+    if os.environ.get('PATCHGAN_SHADOW_PARAMS', 'on').lower() not in \
+            ('off', '0', 'false'):
+        shadow_fn = make_train_step(gen, disc, gen_tx, disc_tx,
+                                    loss_type='tversky', seg_alpha=200.0,
+                                    shadow_dtype=jnp.bfloat16)
 
     rng = np.random.default_rng(0)
     # x/y are jit ARGUMENTS: captured device arrays would be baked into
@@ -79,7 +89,7 @@ def build(batch=BATCH):
                        .astype(np.float32))
     y = jax.device_put((rng.uniform(size=(batch, SIZE, SIZE, 1)) > 0.5)
                        .astype(np.float32))
-    return state, step, x, y
+    return state, step, shadow_fn, x, y
 
 
 def fetch(v):
@@ -88,11 +98,13 @@ def fetch(v):
     return v
 
 
-def eager_step_time(state, step, x, y):
+def eager_step_time(state, step, x, y, shadow_fn=None):
     """The shipping dispatch mode: Trainer-style eager steps through
     AutoLayoutStep (AUTO boundary layouts, donated state)."""
     from patchgan_tpu.train.auto_layout import AutoLayoutStep
-    auto = AutoLayoutStep(step, jax.jit(step, donate_argnums=(0,)))
+    auto = AutoLayoutStep(
+        step, jax.jit(step, donate_argnums=(0,)), shadow_fn=shadow_fn,
+        shadow_dtype=jnp.bfloat16 if shadow_fn is not None else None)
 
     def run(state, n):
         for _ in range(n):
@@ -148,9 +160,9 @@ def main():
     batch = int(sys.argv[sys.argv.index('--batch') + 1]) \
         if '--batch' in sys.argv else BATCH  # e.g. --batch 32, the
     #   documented recommended throughput config (BENCHMARKS.md)
-    state, step, x, y = build(batch)
-    dt = (scan_step_time if mode == 'scan' else eager_step_time)(
-        state, step, x, y)
+    state, step, shadow_fn, x, y = build(batch)
+    dt = (scan_step_time(state, step, x, y) if mode == 'scan'
+          else eager_step_time(state, step, x, y, shadow_fn))
     img_s = batch / dt
     print(json.dumps({
         'metric': 'train_images_per_sec_per_chip',

@@ -77,54 +77,80 @@ def main():
     ap.add_argument('--steps', type=int, default=60)
     ap.add_argument('--reps', type=int, default=3)
     ap.add_argument('--arms', default='default,auto',
-                    help='comma list of default,auto,s2d,s2d_auto')
+                    help='comma list of default,auto,s2d,s2d_auto; '
+                         'append +ENV=val (repeatable) to trace an arm '
+                         'with a trace-time env override, e.g. '
+                         's2d_auto+PATCHGAN_NORM_VJP=custom')
     args = ap.parse_args()
     names = args.arms.split(',')
 
+    env_overrides = {}  # arm name -> {ENV: val}
+    base_names = []
+    for n in names:
+        base, *ovr = n.split('+')
+        env_overrides[n] = dict(kv.split('=', 1) for kv in ovr)
+        base_names.append(base)
+
+    def compile_with_env(jitted, operands, env):
+        saved = {k: os.environ.get(k) for k in env}
+        os.environ.update(env)
+        try:
+            return jitted.lower(*operands).compile()
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+
     arms = {}  # name -> [compiled, state, x, y]
-    for s2d in sorted({n.startswith('s2d') for n in names}):
+    for s2d in sorted({b.startswith('s2d') for b in base_names}):
         state, step, x, y = build(args.batch, s2d=s2d)
+        state_host = jax.tree.map(np.asarray, state)
         prefix = 's2d_' if s2d else ''
         base_name = 's2d' if s2d else 'default'
         auto_name = prefix + 'auto'
 
         base_c = jax.jit(step, donate_argnums=(0,)) \
             .lower(state, x, y).compile()
-        if base_name in names:
-            arms[base_name] = [base_c, state, x, y]
-        if auto_name not in names:
-            continue
-        auto = jax.jit(step, donate_argnums=(0,),
-                       in_shardings=(Format(Layout.AUTO),
-                                     Format(Layout.AUTO),
-                                     Format(Layout.AUTO)),
-                       out_shardings=Format(Layout.AUTO))
-        compiled = auto.lower(state, x, y).compile()
+        first_base = True
+        for n in names:
+            base, env = n.split('+')[0], env_overrides[n]
+            if base == base_name:
+                c = base_c if not env else compile_with_env(
+                    jax.jit(step, donate_argnums=(0,)), (state, x, y),
+                    env)
+                # every arm needs its OWN state: dispatch donates it
+                st = state if first_base else jax.device_put(state_host)
+                first_base = False
+                arms[n] = [c, st, x, y]
+            elif base == auto_name:
+                auto = jax.jit(step, donate_argnums=(0,),
+                               in_shardings=(Format(Layout.AUTO),
+                                             Format(Layout.AUTO),
+                                             Format(Layout.AUTO)),
+                               out_shardings=Format(Layout.AUTO))
+                compiled = compile_with_env(auto, (state, x, y), env)
 
-        # what did AUTO choose? count params whose layout differs from
-        # the default compiled boundary layouts
-        fmts = jax.tree.leaves(compiled.input_formats[0][0])
-        base_fmts = jax.tree.leaves(base_c.input_formats[0][0])
-        ndiff = sum(1 for a, b in zip(fmts, base_fmts) if a != b)
-        print(json.dumps({'arm': auto_name, 'params_total': len(fmts),
-                          'params_nondefault_layout': ndiff}), flush=True)
-        shown = 0
-        for a, b, leaf in zip(fmts, base_fmts,
-                              jax.tree.leaves(
-                                  jax.eval_shape(lambda s: s, state))):
-            if a != b and shown < 12:
-                print(json.dumps({'shape': list(leaf.shape),
-                                  'auto': str(a.layout),
-                                  'default': str(b.layout)}), flush=True)
-                shown += 1
+                # what did AUTO choose? count params whose layout
+                # differs from the default compiled boundary layouts
+                fmts = jax.tree.leaves(compiled.input_formats[0][0])
+                base_fmts = jax.tree.leaves(base_c.input_formats[0][0])
+                ndiff = sum(1 for a, b in zip(fmts, base_fmts)
+                            if a != b)
+                print(json.dumps(
+                    {'arm': n, 'params_total': len(fmts),
+                     'params_nondefault_layout': ndiff}), flush=True)
 
-        # relay the state (and batch) into the AUTO layouts once,
-        # outside timing
-        state_auto = jax.device_put(
-            jax.tree.map(np.asarray, state), compiled.input_formats[0][0])
-        x_auto = jax.device_put(np.asarray(x), compiled.input_formats[0][1])
-        y_auto = jax.device_put(np.asarray(y), compiled.input_formats[0][2])
-        arms[auto_name] = [compiled, state_auto, x_auto, y_auto]
+                # relay the state (and batch) into the AUTO layouts
+                # once, outside timing
+                state_auto = jax.device_put(
+                    state_host, compiled.input_formats[0][0])
+                x_auto = jax.device_put(np.asarray(x),
+                                        compiled.input_formats[0][1])
+                y_auto = jax.device_put(np.asarray(y),
+                                        compiled.input_formats[0][2])
+                arms[n] = [compiled, state_auto, x_auto, y_auto]
 
     for rep in range(args.reps):
         out = {'rep': rep}

@@ -3,9 +3,16 @@ per-op device-time breakdown.
 
 Parses the raw ``*.xplane.pb`` with tensorflow's bundled xplane proto
 (no tensorboard_plugin_profile needed): sums event durations per line
-of every device plane and prints the top ops plus a category rollup
-(convolution / norm+elementwise / copy / optimizer / other), i.e. the
-ground truth behind BENCHMARKS.md's MFU accounting.
+of every device plane and prints the top ops plus a category rollup,
+i.e. the ground truth behind BENCHMARKS.md's MFU accounting.
+
+Categories are derived from each op's OWN opcode; fusion ops are
+attributed by the contents of their fused computation, joined from the
+optimized-HLO module text saved next to the trace (round-4 fix -- the
+old regex-over-full-op-text categoriser counted any fusion with a
+%copy-named OPERAND as a copy, which misattributed ~6 ms/step of conv
+fusions as data movement; BENCHMARKS.md round-4 "corrected
+attribution").
 """
 
 import argparse
@@ -55,6 +62,19 @@ def capture(steps, batch, size, auto_layout=False, s2d=False):
     jax.block_until_ready(losses['gen'])
 
     outdir = tempfile.mkdtemp(prefix='patchgan_profile_')
+    # save the optimized HLO next to the trace so analyze() can
+    # attribute fusion ops by their fused-computation contents
+    try:
+        if auto_layout:
+            compiled = next(v[0] for v in step._cache.values()
+                            if v is not None)
+        else:
+            compiled = step.lower(state, x, y).compile()
+        with open(os.path.join(outdir, 'module.hlo.txt'), 'w') as f:
+            f.write(compiled.as_text())
+    except Exception as e:  # pragma: no cover - join is best-effort
+        print(f'warning: no HLO join ({e})')
+
     with jax.profiler.trace(outdir):
         for _ in range(steps):
             state, losses = step(state, x, y)
@@ -62,26 +82,105 @@ def capture(steps, batch, size, auto_layout=False, s2d=False):
     return outdir
 
 
-CATEGORIES = [
-    # 'convolution' must NOT match 'convert' (dtype casts) -- that
-    # would inflate the conv share this tool exists to isolate
-    ('convolution', re.compile(r'convolution|\bdot\b', re.I)),
-    # data movement, split three ways so the round-3 wgrad work can be
-    # attributed: layout transposes vs dtype casts vs plain copies
-    ('transpose', re.compile(r'transpose', re.I)),
-    ('convert', re.compile(r'convert', re.I)),
-    ('copy', re.compile(r'copy|bitcast', re.I)),
-    ('all-reduce', re.compile(r'all-reduce|reduce-scatter|all-gather',
-                              re.I)),
-    ('fusion (norm/elementwise/opt)', re.compile(r'fusion|reduce', re.I)),
-]
+# --- categorisation --------------------------------------------------
+#
+# ROUND-4 FIX (load-bearing): an event's metadata name is the op's FULL
+# one-line HLO text INCLUDING ITS OPERAND LIST. The previous regex
+# categoriser matched anywhere in that text, so a conv fusion like
+#   %fusion.452 = bf16[...] fusion(bf16[...] %copy.123, ...)
+# was counted as "copy" because an OPERAND was named %copy.123 -- which
+# inflated the data-movement share to ~52% and drove two rounds of
+# copy-tail hunting. The truth (this parser, cross-checked by hand):
+# conv-containing fusions are ~80% of the v5e step, raw data movement
+# ~10%. Ops are now categorised by their OWN opcode, and fusion ops by
+# the contents of their called computation, joined from the HLO module
+# text that capture() saves alongside the trace (module.hlo.txt).
+
+_ENTRY_OP_RE = re.compile(
+    r'^\s*%?([\w.\-]+) = \(?[\w\[\],\s]*.*?\s([a-z\-]+)\(')
+_CALLS_RE = re.compile(r'(?:calls|to_apply)=%?([\w.\-]+)')
+_BODY_OP_RE = re.compile(
+    r'= \(?\w+\[[^\]]*\]\{[^}]*\}\s*([a-z\-]+)\(')
+
+_DATA_MOVEMENT = ('copy', 'transpose', 'convert', 'reshape', 'reverse',
+                  'slice', 'pad', 'concatenate', 'dynamic-slice',
+                  'dynamic-update-slice', 'bitcast-convert')
+_STRUCTURAL = ('parameter', 'tuple', 'get-tuple-element', 'constant',
+               'bitcast')
 
 
-def categorize(name):
-    for label, pat in CATEGORIES:
-        if pat.search(name):
-            return label
-    return 'other'
+def parse_hlo_computations(text):
+    """{computation name: body text} plus {entry op: (opcode, calls)}."""
+    bodies, cur = {}, None
+    for ln in text.splitlines():
+        if ln.startswith('ENTRY'):
+            cur = 'ENTRY'
+            bodies[cur] = []
+            continue
+        if not ln.startswith((' ', '}')) and ln.rstrip().endswith('{'):
+            m = re.match(r'%?([\w.\-]+)', ln)
+            cur = m.group(1) if m else None
+            if cur:
+                bodies[cur] = []
+            continue
+        if cur is not None:
+            if ln.startswith('}'):
+                cur = None
+            else:
+                bodies[cur].append(ln)
+    entry_ops = {}
+    for ln in bodies.get('ENTRY', []):
+        m = _ENTRY_OP_RE.match(ln)
+        if not m:
+            continue
+        calls = _CALLS_RE.search(ln)
+        entry_ops[m.group(1)] = (m.group(2),
+                                 calls.group(1) if calls else None)
+    return bodies, entry_ops
+
+
+def classify_fusion_body(body_text):
+    if 'convolution(' in body_text or ' dot(' in body_text:
+        return 'convolution (+fused epilogue)'
+    ops = [o for o in _BODY_OP_RE.findall(body_text)
+           if o not in _STRUCTURAL]
+    if ops and all(o in _DATA_MOVEMENT for o in ops):
+        return 'relayout/convert fusion'
+    if any(o == 'reduce' for o in ops):
+        return 'reduce/norm fusion'
+    return 'elementwise/opt fusion'
+
+
+def categorize(name, entry_ops=None, bodies=None):
+    """Category of one traced op, by its own opcode (NOT by operand
+    names -- see the round-4 fix note above)."""
+    m = re.match(r'%?([\w.\-]+) = ', name)
+    opname = m.group(1) if m else name
+    opcode, calls = (entry_ops or {}).get(opname, (None, None))
+    if opcode is None:
+        m2 = _ENTRY_OP_RE.match(name)
+        opcode = m2.group(2) if m2 else None
+        calls = None
+        if opcode == 'fusion':
+            return 'fusion (unattributed: no HLO join)'
+    if opcode == 'fusion':
+        body = '\n'.join((bodies or {}).get(calls, []))
+        if not body:
+            return 'fusion (unattributed: no HLO join)'
+        return classify_fusion_body(body)
+    if opcode in ('convolution', 'dot'):
+        return 'convolution (+fused epilogue)'
+    if opcode in ('copy', 'copy-start', 'copy-done', 'transpose',
+                  'reverse', 'reshape'):
+        return 'copy/transpose'
+    if opcode in ('convert', 'bitcast-convert'):
+        return 'convert'
+    if opcode in ('all-reduce', 'reduce-scatter', 'all-gather',
+                  'collective-permute'):
+        return 'collective'
+    if opcode in ('async-start', 'async-done'):
+        return 'async-dma'
+    return f'other ({opcode})'
 
 
 def analyze(outdir, steps, top):
@@ -137,9 +236,14 @@ def analyze(outdir, steps, top):
     busiest = exec_lines[0] if exec_lines else max(
         lines.values(), key=lambda c: sum(c.values()))
     total = sum(busiest.values())
+    bodies, entry_ops = {}, {}
+    hlo_path = os.path.join(outdir, 'module.hlo.txt')
+    if os.path.exists(hlo_path):
+        with open(hlo_path) as f:
+            bodies, entry_ops = parse_hlo_computations(f.read())
     cats = collections.Counter()
     for name, ps in busiest.items():
-        cats[categorize(name)] += ps
+        cats[categorize(name, entry_ops, bodies)] += ps
     for label, ps in cats.most_common():
         print(json.dumps({'category': label,
                           'ms_per_step': round(ps / 1e9 / steps, 3),

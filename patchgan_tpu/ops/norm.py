@@ -12,6 +12,7 @@ norm+act epilogue) with this XLA implementation as the reference/fallback
 path. Set ``use_pallas=False`` to force the XLA path.
 """
 
+import functools
 import os
 
 import jax
@@ -42,6 +43,68 @@ def _instance_norm_xla(x, eps, activation):
     return y.astype(x.dtype)
 
 
+# PATCHGAN_NORM_VJP=custom swaps in a hand-written backward whose ONLY
+# residual is the bf16 input x (read per trace so harnesses can A/B in
+# one process). Motivation (round-4 HLO audit, BENCHMARKS.md): JAX's
+# default autodiff of the norm saves the centred activation (xf - m) in
+# FLOAT32 -- a full-resolution f32 residual per norm site, 2x the bytes
+# of the bf16 input -- plus per-site stat tensors whose inter-fusion
+# copies cost ~24 us each on v5e. The custom backward recomputes
+# mean/rstd/xhat from x (spatial reduces fuse into the backward's
+# existing read of x), so nothing but x crosses the fwd->bwd boundary.
+_CUSTOM_VJP_ACTS = (None, 'linear', 'relu', 'leakyrelu', 'tanh',
+                    'sigmoid')
+
+
+def _norm_vjp_mode():
+    return os.environ.get('PATCHGAN_NORM_VJP', 'off')
+
+
+def _stats(xf, eps):
+    m = jnp.mean(xf, axis=(1, 2), keepdims=True)
+    var = jnp.mean(jnp.square(xf), axis=(1, 2), keepdims=True) \
+        - jnp.square(m)
+    return m, jax.lax.rsqrt(var + eps)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _norm_act_cvjp(x, eps, activation):
+    return _instance_norm_xla(x, eps, activation)
+
+
+def _norm_act_cvjp_fwd(x, eps, activation):
+    return _instance_norm_xla(x, eps, activation), x
+
+
+def _norm_act_cvjp_bwd(eps, activation, x, dy):
+    xf = x.astype(jnp.float32)
+    m, r = _stats(xf, eps)
+    xhat = (xf - m) * r
+    dyf = dy.astype(jnp.float32)
+    # d(activation)/d(xhat), recomputed from xhat
+    if activation in (None, 'linear'):
+        dxh = dyf
+    elif activation == 'relu':
+        dxh = jnp.where(xhat > 0, dyf, 0.0)
+    elif activation == 'leakyrelu':
+        dxh = jnp.where(xhat > 0, dyf, 0.2 * dyf)
+    elif activation == 'tanh':
+        t = jnp.tanh(xhat)
+        dxh = dyf * (1.0 - jnp.square(t))
+    else:  # sigmoid (gated by _CUSTOM_VJP_ACTS)
+        s = jax.nn.sigmoid(xhat)
+        dxh = dyf * s * (1.0 - s)
+    # exact instance-norm backward, eps included via r:
+    # dx = r * (dxh - mean(dxh) - xhat * mean(dxh * xhat))
+    mdxh = jnp.mean(dxh, axis=(1, 2), keepdims=True)
+    mdot = jnp.mean(dxh * xhat, axis=(1, 2), keepdims=True)
+    dx = r * (dxh - mdxh - xhat * mdot)
+    return (dx.astype(x.dtype),)
+
+
+_norm_act_cvjp.defvjp(_norm_act_cvjp_fwd, _norm_act_cvjp_bwd)
+
+
 def instance_norm(x, eps=1e-5, activation=None, use_pallas=True):
     """Normalise each (sample, channel) plane over its spatial extent.
 
@@ -56,4 +119,6 @@ def instance_norm(x, eps=1e-5, activation=None, use_pallas=True):
                                                 activation=activation)
         except ImportError:  # pragma: no cover - pallas unavailable
             pass
+    if _norm_vjp_mode() == 'custom' and activation in _CUSTOM_VJP_ACTS:
+        return _norm_act_cvjp(x, eps, activation)
     return _instance_norm_xla(x, eps, activation)

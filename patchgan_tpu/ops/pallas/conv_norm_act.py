@@ -27,11 +27,19 @@ accurate since the conv accumulator stays fp32 into the norm). Compiles
 and runs on v5e after two redesigns: parity planes are pre-split by XLA
 (in-kernel 5-D parity views hit an unimplemented Mosaic strided vector
 load) and the 16 terms are statically unrolled (dynamic sublane offsets
-are also unlowerable). Per-shape A/B through this host's axon relay is
-too noisy to gate on (4x run-to-run variance at the ~1 ms scale; e.g.
-(16,8,8,512,512) measured 1.8x FASTER and (16,16,16,512,512) 0.4x in
-adjacent runs), so the kernel stays opt-in until a directly-attached
-TPU can profile it; enable with PATCHGAN_FUSED_CONV=on.
+are also unlowerable).
+
+MEASURABILITY (round 4): the early "4x run-to-run variance" problem of
+naive per-dispatch timing is SOLVED -- benchmarks/fused_conv_table.py
+times each shape as K chained iterations inside one jitted lax.scan and
+reports the differential (long - short)/(L - S), which cancels the
+axon relay's fixed dispatch cost exactly; run-to-run spread is a few
+percent (dated per-shape table with variance bounds in BENCHMARKS.md,
+"Pallas dispatch tables"). The verdict on this toolchain (jax 0.9.0 /
+libtpu 0.0.34): XLA wins every UNet forward shape and the one isolated
+train win inverts at full-model level, so `auto` == XLA everywhere and
+_AUTO_TABLE ships empty. Re-run both table harnesses on toolchain
+bumps; enable unconditionally with PATCHGAN_FUSED_CONV=on.
 """
 
 import functools

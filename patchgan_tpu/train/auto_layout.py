@@ -16,6 +16,16 @@ incoming layouts), places the state into the chosen formats once, and
 lets donation keep it there across steps. It is a drop-in callable with
 the ``step(state, x, y) -> (state, losses)`` signature.
 
+It can additionally carry a bf16 GENERATOR SHADOW across steps
+(``shadow_fn``/``shadow_dtype``, see steps.make_train_step's
+``shadow_dtype``): the fp32 G masters are then touched only by
+elementwise optimizer ops and the forward consumes the resident
+pre-cast tree — bit-exact (tests/test_shadow_step.py) and measured
++0.8% on the v5e batch-16 step (benchmarks/shadow_probe.py). The
+shadow is an internal cache: externally the wrapper still maps
+``(state, x, y) -> (state, losses)`` and any state not produced by
+this wrapper (resume, LR epoch updates) just re-derives it.
+
 Scan-based programs do NOT benefit: ``lax.scan`` pins its carry to
 default layouts at every loop iteration regardless of the jit-boundary
 formats (measured, BENCHMARKS.md entry #5), which is why this wrapper
@@ -50,11 +60,14 @@ class AutoLayoutStep:
     """AOT-compile ``fn(state, x, y)`` with AUTO state layouts per batch
     signature; keep the state resident in the chosen layouts."""
 
-    def __init__(self, fn, fallback):
+    def __init__(self, fn, fallback, shadow_fn=None, shadow_dtype=None):
         self._fn = fn
         self._fallback = fallback  # plain jitted step
+        self._shadow_fn = shadow_fn  # step(state, g16, x, y) or None
+        self._shadow_dtype = shadow_dtype
         self._cache = {}  # (x.shape, x.dtype, y.shape, y.dtype) ->
-        #                   (compiled, state_fmt) or None (= use fallback)
+        #                   (compiled, state_fmt, g16_fmt or None)
+        #                   or None (= use fallback)
         self._last_out = None  # (cache key, weakref to the .step array)
         #   of the state we last returned: that state is by construction
         #   already in the formats chosen for THAT batch signature
@@ -65,9 +78,38 @@ class AutoLayoutStep:
         #   compile different programs that may choose different layouts,
         #   so a state returned by one entry is NOT format-settled for
         #   another (ADVICE round 3).
+        self._shadow = None  # resident pre-cast G tree, valid only when
+        #   the identity fast-path hits (it was emitted by the same
+        #   compiled entry that produced the incoming state)
+        if shadow_fn is not None:
+            from .steps import make_shadows
+            # one jitted cast for off-steady-path shadow (re)derivation
+            # (eager per-leaf casts would be ~80 relay dispatches)
+            self._caster = jax.jit(
+                lambda s: make_shadows(s, shadow_dtype))
 
     def _compile(self, state, x, y):
         from jax.experimental.layout import Format, Layout
+        if self._shadow_fn is not None:
+            from .steps import make_shadows
+            g16 = jax.eval_shape(
+                lambda s: make_shadows(s, self._shadow_dtype), state)
+            jitted = jax.jit(
+                self._shadow_fn, donate_argnums=(0, 1),
+                in_shardings=(Format(Layout.AUTO), Format(Layout.AUTO),
+                              x.format, y.format),
+                out_shardings=Format(Layout.AUTO))
+            compiled = jitted.lower(state, g16, x, y).compile()
+            state_fmt = compiled.input_formats[0][0]
+            g16_fmt = compiled.input_formats[0][1]
+            fix_point = (
+                jax.tree.leaves(compiled.output_formats[0])
+                == jax.tree.leaves(state_fmt)
+                and jax.tree.leaves(compiled.output_formats[1])
+                == jax.tree.leaves(g16_fmt))
+            if not fix_point:
+                return None
+            return compiled, state_fmt, g16_fmt
         jitted = jax.jit(
             self._fn, donate_argnums=(0,),
             in_shardings=(Format(Layout.AUTO), x.format, y.format),
@@ -79,7 +121,7 @@ class AutoLayoutStep:
             # output layouts don't feed back as inputs: every step would
             # pay a device_put — the plain path is strictly better
             return None
-        return compiled, state_fmt
+        return compiled, state_fmt, None
 
     def __call__(self, state, x, y):
         key = (x.shape, x.dtype, y.shape, y.dtype)
@@ -91,17 +133,28 @@ class AutoLayoutStep:
         entry = self._cache[key]
         if entry is None:
             return self._fallback(state, x, y)
-        compiled, state_fmt = entry
+        compiled, state_fmt, g16_fmt = entry
         last = None
         if self._last_out is not None and self._last_out[0] == key:
             last = self._last_out[1]()
-        if getattr(state, 'step', None) is not last and \
-                not _formats_match(state, state_fmt):
+        settled = getattr(state, 'step', None) is last
+        if not settled and not _formats_match(state, state_fmt):
             # first step, resume, batch-signature change, or an LR
             # epoch-update touched leaves: one relayouting device_put,
             # then donation keeps formats
             state = jax.device_put(state, state_fmt)
-        out = compiled(state, x, y)
+        if g16_fmt is None:
+            out = compiled(state, x, y)
+        else:
+            if not settled or self._shadow is None:
+                # (re)derive the resident shadow from the masters:
+                # one cast dispatch + relayout, off the steady path only
+                shadow = jax.device_put(self._caster(state), g16_fmt)
+            else:
+                shadow = self._shadow
+            new_state, self._shadow, losses = compiled(state, shadow,
+                                                       x, y)
+            out = (new_state, losses)
         try:
             self._last_out = (key, weakref.ref(out[0].step))
         except TypeError:  # state type without a weakref-able .step

@@ -215,11 +215,24 @@ def disc_real_fake(discriminator, d_params, x, y, gen_img,
     return disc_real, disc_fake
 
 
+def make_shadows(state, dtype):
+    """Compute-dtype shadow of the GENERATOR param tree (see
+    make_train_step's ``shadow_dtype``). Exactly the casts the model
+    would apply internally, hoisted out so they can live across the jit
+    boundary. Generator only: every G param is consumed at a single
+    site per loss, so pre-casting is bit-exact -- the discriminator is
+    applied twice in its loss (real + fake) and its master-dtype grad
+    accumulation across the two applies must stay in the master dtype,
+    so D keeps the per-site casts."""
+    return jax.tree.map(lambda p: p.astype(dtype), state.g_params)
+
+
 def make_train_step(generator, discriminator, gen_tx, disc_tx,
                     loss_type='tversky', seg_alpha=200.0,
                     tversky_beta=0.75, tversky_gamma=0.75,
                     grad_dtype=None, merged_disc=False,
-                    bce_weighting='complement', s2d=None):
+                    bce_weighting='complement', s2d=None,
+                    shadow_dtype=None):
     """Build the fused G+D train step.
 
     ``grad_dtype`` (e.g. bfloat16) casts both gradient trees before the
@@ -229,6 +242,25 @@ def make_train_step(generator, discriminator, gen_tx, disc_tx,
     ``s2d`` (default: follow the generator's flag) converts x/y to their
     space-to-depth form at step entry so no full-resolution few-channel
     tensor exists inside the program (ops/s2d.py).
+
+    ``shadow_dtype`` (e.g. bfloat16) changes the step signature to
+    ``step(state, g_shadow, x, y) -> (state, g_shadow, losses)`` where
+    ``g_shadow = make_shadows(state, shadow_dtype)`` carries the
+    GENERATOR param tree pre-cast to the compute dtype ACROSS the jit
+    boundary. The model consumes the shadow (bit-identical to its
+    internal per-site ``kernel.astype(dtype)`` casts -- every conv
+    computes in the module dtype, fp32 heads only cast conv OUTPUTS,
+    models/blocks.py; each G param has a single consumption site per
+    loss so pre-casting commutes with autodiff exactly), grads are
+    converted back to the master dtype before the optimizer exactly
+    where the cast's autodiff would have, and a fresh shadow is emitted
+    from the updated masters. Net effect on v5e: the fp32 G masters are
+    touched ONLY by elementwise optimizer ops, so under AUTO boundary
+    layouts they settle into the wgrad-producing layout and the
+    per-step f32 kernel relayout copies (~1.9 ms/step of the round-4
+    profile, BENCHMARKS.md) disappear; any residual layout conflict is
+    paid once on the half-width bf16 shadow instead. The discriminator
+    keeps master-dtype consumption (see make_shadows).
     """
     seg_loss = make_seg_loss(loss_type, seg_alpha, tversky_beta,
                              tversky_gamma, bce_weighting)
@@ -240,18 +272,28 @@ def make_train_step(generator, discriminator, gen_tx, disc_tx,
             return grads
         return jax.tree.map(lambda g: g.astype(grad_dtype), grads)
 
-    def train_step(state, x, y):
+    def master_grads(grads, masters):
+        # the cast the autodiff of the models' internal astype would
+        # insert: cotangents flow back in the master dtype
+        return jax.tree.map(lambda g, p: g.astype(p.dtype), grads,
+                            masters)
+
+    def train_step(state, x, y, g_shadow=None, d_shadow=None):
         dropout_rng = jax.random.fold_in(state.rng, state.step)
         if s2d:
             from ..ops.s2d import space_to_depth
             x, y = space_to_depth(x), space_to_depth(y)
+        g_fwd = state.g_params if g_shadow is None else g_shadow
+        d_fwd = state.d_params if d_shadow is None else d_shadow
 
         def g_loss_fn(g_params):
             return gan_losses(generator, discriminator, seg_loss, g_params,
-                              state.d_params, x, y, True, dropout_rng, s2d)
+                              d_fwd, x, y, True, dropout_rng, s2d)
 
         (g_loss, (gen_img, gdisc)), g_grads = jax.value_and_grad(
-            g_loss_fn, has_aux=True)(state.g_params)
+            g_loss_fn, has_aux=True)(g_fwd)
+        if g_shadow is not None:
+            g_grads = master_grads(g_grads, state.g_params)
         g_updates, g_opt_state = gen_tx.update(
             cast_grads(g_grads), state.g_opt_state, state.g_params)
         g_params = optax.apply_updates(state.g_params, g_updates)
@@ -266,7 +308,9 @@ def make_train_step(generator, discriminator, gen_tx, disc_tx,
             return (loss_fake + loss_real) / 2.0, (loss_real, loss_fake)
 
         (d_loss, (loss_real, loss_fake)), d_grads = jax.value_and_grad(
-            d_loss_fn, has_aux=True)(state.d_params)
+            d_loss_fn, has_aux=True)(d_fwd)
+        if d_shadow is not None:
+            d_grads = master_grads(d_grads, state.d_params)
         d_updates, d_opt_state = disc_tx.update(
             cast_grads(d_grads), state.d_opt_state, state.d_params)
         d_params = optax.apply_updates(state.d_params, d_updates)
@@ -277,7 +321,14 @@ def make_train_step(generator, discriminator, gen_tx, disc_tx,
                                state.step + 1, state.rng)
         return new_state, losses
 
-    return train_step
+    if shadow_dtype is None:
+        return train_step
+
+    def shadow_step(state, g_shadow, x, y):
+        new_state, losses = train_step(state, x, y, g_shadow=g_shadow)
+        return new_state, make_shadows(new_state, shadow_dtype), losses
+
+    return shadow_step
 
 
 def make_eval_step(generator, discriminator, loss_type='tversky',

@@ -169,7 +169,20 @@ class Trainer:
                 jitted = jax.jit(fn, donate_argnums=(0,))
                 if self._auto_layout():
                     from .auto_layout import AutoLayoutStep
-                    jitted = AutoLayoutStep(fn, jitted)
+                    shadow_fn, shadow_dtype = None, None
+                    if self._shadow_params():
+                        shadow_dtype = self.generator.dtype
+                        shadow_fn = make_train_step(
+                            gen, disc, self._gen_tx, self._disc_tx,
+                            loss_type=self.loss_type,
+                            seg_alpha=self.seg_alpha,
+                            tversky_beta=self.tversky_beta,
+                            tversky_gamma=self.tversky_gamma,
+                            bce_weighting=self.bce_weighting,
+                            shadow_dtype=shadow_dtype)
+                    jitted = AutoLayoutStep(fn, jitted,
+                                            shadow_fn=shadow_fn,
+                                            shadow_dtype=shadow_dtype)
             else:
                 fn = make_eval_step(
                     gen, disc,
@@ -224,6 +237,18 @@ class Trainer:
         if flag in ('off', '0', 'false'):
             return False
         return self.mesh is None or self.mesh.size == 1
+
+    def _shadow_params(self):
+        """Resident compute-dtype generator shadow on the AUTO-layout
+        eager path (train/steps.py shadow_dtype; bit-exact, measured
+        +0.8% on v5e — BENCHMARKS.md round 4). Only meaningful when the
+        compute dtype differs from the fp32 masters. Disable with
+        PATCHGAN_SHADOW_PARAMS=off."""
+        flag = os.environ.get('PATCHGAN_SHADOW_PARAMS', 'on').lower()
+        if flag in ('off', '0', 'false'):
+            return False
+        import jax.numpy as jnp
+        return self.generator.dtype != jnp.float32
 
     def _place_batch(self, x, y):
         # device-resident batches from the DataLoader pass straight

@@ -1,7 +1,9 @@
 """Op-level golden parity vs torch: conv, transposed conv, instance norm,
 and the concat-fusion identities (ops/conv.py, ops/norm.py)."""
 
+import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as F
 
@@ -106,6 +108,45 @@ def test_instance_norm_bf16_fp32_stats(rng):
     assert np.asarray(got).dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(got, dtype=np.float32),
                                np.asarray(ref), atol=0.05)
+
+
+@pytest.mark.parametrize('activation',
+                         [None, 'relu', 'leakyrelu', 'tanh', 'sigmoid'])
+def test_instance_norm_custom_vjp_matches_autodiff(rng, activation,
+                                                   monkeypatch):
+    """PATCHGAN_NORM_VJP=custom: values identical, gradients equal to
+    the default autodiff (the hand-written backward recomputes
+    mean/rstd/xhat from x instead of saving f32 residuals)."""
+    import jax
+    monkeypatch.delenv('PATCHGAN_NORM_VJP', raising=False)
+    x = rng.normal(size=(2, 8, 8, 5)).astype(np.float32) * 2 + 0.5
+    dy = rng.normal(size=(2, 8, 8, 5)).astype(np.float32)
+
+    def loss(xx):
+        return jnp.sum(instance_norm(xx, activation=activation,
+                                     use_pallas=False) * dy)
+
+    y_ref = instance_norm(x, activation=activation, use_pallas=False)
+    g_ref = jax.grad(loss)(x)
+    monkeypatch.setenv('PATCHGAN_NORM_VJP', 'custom')
+    y_got = instance_norm(x, activation=activation, use_pallas=False)
+    g_got = jax.grad(loss)(x)
+    np.testing.assert_array_equal(np.asarray(y_got), np.asarray(y_ref))
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_instance_norm_custom_vjp_softmax_falls_back(rng, monkeypatch):
+    """Unsupported fused activations keep the default autodiff path
+    (still differentiable, same values)."""
+    import jax
+    monkeypatch.setenv('PATCHGAN_NORM_VJP', 'custom')
+    x = rng.normal(size=(2, 4, 4, 3)).astype(np.float32)
+    y = instance_norm(x, activation='softmax', use_pallas=False)
+    g = jax.grad(lambda xx: jnp.sum(jnp.square(instance_norm(
+        xx, activation='softmax', use_pallas=False))))(x)
+    assert np.all(np.isfinite(np.asarray(y)))
+    assert np.all(np.isfinite(np.asarray(g)))
 
 
 def test_conv_transpose_segregated_matches_dilated(rng):
