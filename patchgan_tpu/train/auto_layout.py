@@ -88,18 +88,57 @@ class AutoLayoutStep:
             self._caster = jax.jit(
                 lambda s: make_shadows(s, shadow_dtype))
 
+    @staticmethod
+    def _auto_fmt(tree):
+        """Per-leaf AUTO formats. On multi-device meshes the AOT format
+        path needs the leaf's NamedSharding carried alongside the AUTO
+        layout (validated against a detached v5e-8 topology by
+        benchmarks/dp_layout_probe.py: AUTO picks 20 non-default state
+        layouts there and the result fix-points); single-device leaves
+        keep the bare AUTO format."""
+        from jax.experimental.layout import Format, Layout
+
+        def fmt(leaf):
+            sh = getattr(leaf, 'sharding', None)
+            if sh is not None and len(getattr(sh, 'device_set', ())) > 1:
+                return Format(Layout.AUTO, sh)
+            return Format(Layout.AUTO)
+
+        return jax.tree.map(fmt, tree)
+
+    @staticmethod
+    def _abstract(tree):
+        """ShapeDtypeStructs (carrying shardings) for lowering: the AOT
+        AUTO-format path rejects CONCRETE committed arrays ("arg layout
+        ... Consider passing a jax.ShapeDtypeStruct"), which on
+        multi-device meshes would silently fall back to the plain step."""
+        def struct(leaf):
+            return jax.ShapeDtypeStruct(leaf.shape, leaf.dtype,
+                                        sharding=getattr(leaf, 'sharding',
+                                                         None))
+        return jax.tree.map(struct, tree)
+
     def _compile(self, state, x, y):
         from jax.experimental.layout import Format, Layout
+        abstate = self._abstract(state)
         if self._shadow_fn is not None:
             from .steps import make_shadows
             g16 = jax.eval_shape(
                 lambda s: make_shadows(s, self._shadow_dtype), state)
+            g16 = jax.tree.map(
+                lambda s, p: jax.ShapeDtypeStruct(
+                    s.shape, s.dtype,
+                    sharding=getattr(p, 'sharding', None)),
+                g16, state.g_params)
             jitted = jax.jit(
                 self._shadow_fn, donate_argnums=(0, 1),
-                in_shardings=(Format(Layout.AUTO), Format(Layout.AUTO),
+                in_shardings=(self._auto_fmt(state),
+                              # shadow leaves inherit the masters'
+                              # shardings (replicated casts)
+                              self._auto_fmt(state.g_params),
                               x.format, y.format),
                 out_shardings=Format(Layout.AUTO))
-            compiled = jitted.lower(state, g16, x, y).compile()
+            compiled = jitted.lower(abstate, g16, x, y).compile()
             state_fmt = compiled.input_formats[0][0]
             g16_fmt = compiled.input_formats[0][1]
             fix_point = (
@@ -112,9 +151,9 @@ class AutoLayoutStep:
             return compiled, state_fmt, g16_fmt
         jitted = jax.jit(
             self._fn, donate_argnums=(0,),
-            in_shardings=(Format(Layout.AUTO), x.format, y.format),
+            in_shardings=(self._auto_fmt(state), x.format, y.format),
             out_shardings=Format(Layout.AUTO))
-        compiled = jitted.lower(state, x, y).compile()
+        compiled = jitted.lower(abstate, x, y).compile()
         state_fmt = compiled.input_formats[0][0]
         out_state_fmt = compiled.output_formats[0]
         if jax.tree.leaves(out_state_fmt) != jax.tree.leaves(state_fmt):

@@ -228,15 +228,21 @@ class Trainer:
 
     def _auto_layout(self):
         """XLA-chosen train-state layouts for the eager step dispatch
-        (train/auto_layout.py; +9.5% measured on v5e). Default on for
-        single-device meshes; PATCHGAN_AUTO_LAYOUT=off disables. Multi-
-        device meshes keep GSPMD's layouts (the AOT format path carries
-        no NamedSharding and scan-carry semantics differ — measured no
-        win there anyway, BENCHMARKS.md round-3 #5)."""
+        (train/auto_layout.py; +9.5% measured on v5e single-chip).
+        Default on for any single-process mesh since round 4: the AOT
+        format path carries each leaf's NamedSharding alongside the
+        AUTO layout, and the detached-v5e-8-topology probe
+        (benchmarks/dp_layout_probe.py) shows the DP step both WANTS
+        non-default layouts (20 state leaves) and fix-points under
+        them. Multi-process meshes keep GSPMD's layouts (AOT
+        device_put of a relayouted global state is not validated
+        cross-host). PATCHGAN_AUTO_LAYOUT=off disables."""
         flag = os.environ.get('PATCHGAN_AUTO_LAYOUT', 'on').lower()
         if flag in ('off', '0', 'false'):
             return False
-        return self.mesh is None or self.mesh.size == 1
+        if self.mesh is None or self.mesh.size == 1:
+            return True
+        return jax.process_count() == 1
 
     def _shadow_params(self):
         """Resident compute-dtype generator shadow on the AUTO-layout

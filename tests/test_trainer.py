@@ -764,12 +764,31 @@ def test_auto_layout_batch_signature_switch(tmp_path, rng, monkeypatch):
             np.testing.assert_allclose(a[k], b[k], rtol=1e-6, atol=1e-7)
 
 
-def test_auto_layout_disabled_on_multidevice_mesh(tmp_path):
-    """Multi-device meshes keep the GSPMD path (gate in
-    Trainer._auto_layout)."""
+def test_auto_layout_on_multidevice_mesh(tmp_path, rng, monkeypatch):
+    """Round 4: single-process multi-device meshes run the AUTO-format
+    eager wrapper too (per-leaf NamedSharding-aware formats — the
+    detached v5e-8 topology probe, benchmarks/dp_layout_probe.py,
+    shows the DP step WANTS 20 non-default layouts and fix-points).
+    Numerics must match the plain GSPMD path batch for batch; if the
+    backend rejects the AOT format path the wrapper must fall back
+    silently (cache entry None) with identical results either way."""
     from patchgan_tpu.train.auto_layout import AutoLayoutStep
-    t = make_trainer(tmp_path)  # default mesh = 8 virtual devices
+    t = make_trainer(tmp_path / 'a')  # default mesh = 8 virtual devices
     if t.mesh.size == 1:
         import pytest
         pytest.skip('single-device environment')
-    assert not isinstance(t._get_step(True), AutoLayoutStep)
+    monkeypatch.setenv('PATCHGAN_AUTO_LAYOUT', 'on')
+    step = t._get_step(True)
+    assert isinstance(step, AutoLayoutStep)
+    x, y = synth_batch(rng, n=8)  # divisible across the 8-way mesh
+    a_losses = [t.batch(x, y, train=True) for _ in range(2)]
+
+    monkeypatch.setenv('PATCHGAN_AUTO_LAYOUT', 'off')
+    t2 = make_trainer(tmp_path / 'b')
+    assert not isinstance(t2._get_step(True), AutoLayoutStep)
+    b_losses = [t2.batch(x, y, train=True) for _ in range(2)]
+
+    for a, b in zip(a_losses, b_losses):
+        assert a.keys() == b.keys()
+        for k in a:
+            np.testing.assert_allclose(a[k], b[k], rtol=1e-6, atol=1e-7)
