@@ -111,6 +111,21 @@ class InferenceEngine:
         # requests through a remote-TPU relay; ~50 ms PCIe even
         # locally). Replicated across the mesh when present so sharded
         # tile batches find the weights on every device.
+        #
+        # They are also PRE-CAST to the module's compute dtype: the
+        # model casts every kernel to ``generator.dtype`` at each use
+        # site anyway (models/blocks.py), so hoisting the cast here is
+        # bit-identical while halving the per-forward weight HBM reads
+        # (fp32 masters are a training concern; inference never
+        # updates them). Measured on v5e: see BENCHMARKS.md "Generator
+        # inference forward".
+        model_dtype = getattr(generator, 'dtype', jnp.float32)
+        if model_dtype != jnp.float32:
+            def precast(p):
+                arr = np.asarray(p)  # host cast once, then one put
+                return arr.astype(model_dtype) \
+                    if arr.dtype == np.float32 else arr
+            g_params = jax.tree.map(precast, g_params)
         if mesh is not None and self.n_devices > 1:
             from ..parallel.mesh import replicate
             self.g_params = replicate(g_params, mesh)

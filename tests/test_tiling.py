@@ -325,6 +325,41 @@ def test_predict_image_async_pipeline(monkeypatch):
                                    engine.predict_image(im), atol=1e-6)
 
 
+def test_engine_precasts_params_to_compute_dtype():
+    """A non-fp32 generator's weights are pre-cast at engine
+    construction (halves per-forward weight reads) -- bit-identical to
+    the model's internal per-site casts, so predictions match an
+    engine that was handed the already-cast tree."""
+    import jax
+    import jax.numpy as jnp
+
+    from patchgan_tpu.inference.engine import InferenceEngine
+    from patchgan_tpu.models import UNet
+
+    gen = UNet(input_nc=3, output_nc=1, nf=2, final_act='sigmoid',
+               dtype=jnp.bfloat16)
+    params = jax.tree.map(
+        lambda x: np.asarray(x),
+        gen.init(jax.random.PRNGKey(0),
+                 np.zeros((1, 128, 128, 3), np.float32))['params'])
+    eng = InferenceEngine(gen, params, size=128, batch_size=4)
+    for leaf in jax.tree.leaves(eng.g_params):
+        assert leaf.dtype == jnp.bfloat16
+    pre = jax.tree.map(lambda p: np.asarray(p).astype(jnp.bfloat16),
+                       params)
+    eng_pre = InferenceEngine(gen, pre, size=128, batch_size=4)
+    img = np.random.default_rng(0).uniform(
+        size=(160, 200, 3)).astype(np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(eng.predict_image(img)),
+        np.asarray(eng_pre.predict_image(img)))
+    # fp32 models keep their fp32 weights untouched
+    gen32 = UNet(input_nc=3, output_nc=1, nf=2, final_act='sigmoid')
+    eng32 = InferenceEngine(gen32, params, size=128, batch_size=4)
+    for leaf in jax.tree.leaves(eng32.g_params):
+        assert leaf.dtype == jnp.float32
+
+
 def test_engine_places_params_on_device_once():
     """Host-numpy checkpoint params must be device_put at engine
     construction: numpy jit arguments re-upload the whole tree on
