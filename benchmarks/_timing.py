@@ -28,21 +28,40 @@ def diff_time(arms, short, long_, reps=3, fetch=float):
       dispatching one jitted scan of the corresponding length and
       returning a fetchable scalar.
     Returns {name: seconds per iteration}.
+
+    Each rep pairs its OWN short and long walls: independently
+    minimized walls from different reps bias the differential low
+    under host jitter and can go negative (the bench.py fix, ADVICE
+    round 3, applied here round 4 after concurrent-host-load runs
+    produced negative per-op times). The reported value is the
+    smallest POSITIVE per-rep differential; if every rep is
+    non-positive the measurement is meaningless (e.g. another process
+    was timesharing the host) and a ValueError says so instead of
+    returning garbage.
     """
     for run_s, run_l in arms.values():  # compile + warm every arm
         fetch(run_s())
         fetch(run_l())
-    best = {n: [float('inf'), float('inf')] for n in arms}
+    dts = {n: [] for n in arms}
     for _ in range(reps):
         for n, (run_s, run_l) in arms.items():
             t0 = time.perf_counter()
             fetch(run_s())
-            best[n][0] = min(best[n][0], time.perf_counter() - t0)
+            t_s = time.perf_counter() - t0
             t0 = time.perf_counter()
             fetch(run_l())
-            best[n][1] = min(best[n][1], time.perf_counter() - t0)
-    return {n: (bl - bs) / (long_ - short)
-            for n, (bs, bl) in best.items()}
+            t_l = time.perf_counter() - t0
+            dts[n].append((t_l - t_s) / (long_ - short))
+    out = {}
+    for n, vals in dts.items():
+        pos = [v for v in vals if v > 0]
+        if not pos:
+            raise ValueError(
+                f"arm {n!r}: all differential reps non-positive "
+                f"({[round(v * 1e6, 1) for v in vals]} us) -- host "
+                f"contention or the scan body got optimized away")
+        out[n] = min(pos)
+    return out
 
 
 def diff_time_one(run_of_length, short, long_, reps=3, fetch=float):

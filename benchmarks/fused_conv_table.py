@@ -161,17 +161,33 @@ def main():
         else:
             assert fused_conv_supported(x, wt, ACT), name
         row = {'shape': f'{args.batch}x{h}x{w_}x{cin}->{cout}'}
+
+        def measure(timer, op):
+            # one retry on an all-non-positive rep set (transient host
+            # contention); a second failure marks the row unreliable
+            for attempt in (0, 1):
+                try:
+                    return timer(op, x, wt, args.iters, args.reps)
+                except ValueError as e:
+                    if attempt:
+                        print(json.dumps({'layer': name,
+                                          'unreliable': str(e)[:160]}),
+                              flush=True)
+                        return None
         for regime, timer in (('infer', timed), ('train', timed_grad)):
-            t_x = timer(ops[0], x, wt, args.iters, args.reps)
-            t_f = timer(ops[1], x, wt, args.iters, args.reps)
-            row[f'{regime}_xla_us'] = round(t_x * 1e6, 1)
-            row[f'{regime}_fused_us'] = round(t_f * 1e6, 1)
-            row[f'{regime}_speedup'] = round(t_x / t_f, 3)
+            t_x = measure(timer, ops[0])
+            t_f = measure(timer, ops[1])
+            row[f'{regime}_xla_us'] = round(t_x * 1e6, 1) if t_x else None
+            row[f'{regime}_fused_us'] = round(t_f * 1e6, 1) if t_f \
+                else None
+            row[f'{regime}_speedup'] = round(t_x / t_f, 3) \
+                if t_x and t_f else None
         table[name] = row
         print(json.dumps({'layer': name, **row}), flush=True)
 
     winners = [n for n, r in table.items()
-               if r['infer_speedup'] > 1.05 and r['train_speedup'] > 0.98]
+               if (r['infer_speedup'] or 0) > 1.05
+               and (r['train_speedup'] or 0) > 0.98]
     print(json.dumps({'winners_infer_and_train_neutral': winners}))
 
 

@@ -67,14 +67,16 @@ def _put(sharding, leaf):
     return jax.device_put(leaf, sharding)
 
 
-def place_hybrid_state(state, mesh):
-    """Place a TrainState on the hybrid mesh: params and optimizer
-    moments sharded per model_parallel_shardings, scalars replicated."""
+def hybrid_state_shardings(state, mesh):
+    """NamedSharding tree shaped like the TrainState: params and
+    optimizer moments per model_parallel_shardings, scalars replicated.
+    Works on abstract states (eval_shape ShapeDtypeStructs) too, which
+    the AOT pre-flight validator (cli/aot.py) relies on."""
     g_sh = model_parallel_shardings(state.g_params, mesh)
     d_sh = model_parallel_shardings(state.d_params, mesh)
     repl = NamedSharding(mesh, P())
 
-    def opt_place(opt_state, shardings, params):
+    def opt_sh(opt_state, shardings, params):
         # optimizer moments mirror param shapes inside optax structures:
         # shard any leaf whose shape matches a param leaf, replicate the
         # rest (counts, hyperparams)
@@ -82,20 +84,26 @@ def place_hybrid_state(state, mesh):
         for p, s in zip(jax.tree_util.tree_leaves(params),
                         jax.tree_util.tree_leaves(shardings)):
             by_shape.setdefault(p.shape, s)
-
-        def place(leaf):
-            s = by_shape.get(getattr(leaf, 'shape', None), repl)
-            return jax.device_put(leaf, s)
-        return jax.tree_util.tree_map(place, opt_state)
+        return jax.tree_util.tree_map(
+            lambda leaf: by_shape.get(getattr(leaf, 'shape', None), repl),
+            opt_state)
 
     return state._replace(
-        g_params=jax.tree_util.tree_map(_put, g_sh, state.g_params),
-        d_params=jax.tree_util.tree_map(_put, d_sh, state.d_params),
-        g_opt_state=opt_place(state.g_opt_state, g_sh, state.g_params),
-        d_opt_state=opt_place(state.d_opt_state, d_sh, state.d_params),
-        step=jax.device_put(state.step, repl),
-        rng=jax.device_put(state.rng, repl),
+        g_params=g_sh,
+        d_params=d_sh,
+        g_opt_state=opt_sh(state.g_opt_state, g_sh, state.g_params),
+        d_opt_state=opt_sh(state.d_opt_state, d_sh, state.d_params),
+        step=repl,
+        rng=repl,
     )
+
+
+def place_hybrid_state(state, mesh):
+    """Place a TrainState on the hybrid mesh: params and optimizer
+    moments sharded per model_parallel_shardings, scalars replicated."""
+    shardings = hybrid_state_shardings(state, mesh)
+    return jax.tree_util.tree_map(
+        lambda leaf, s: _put(s, leaf), state, shardings)
 
 
 def hybrid_batch_sharding(mesh):
