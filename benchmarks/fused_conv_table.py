@@ -162,21 +162,41 @@ def main():
             assert fused_conv_supported(x, wt, ACT), name
         row = {'shape': f'{args.batch}x{h}x{w_}x{cin}->{cout}'}
 
-        def measure(timer, op):
+        # physical floor: the op's forward MACs at bf16 MXU peak
+        # (197 TFLOP/s on v5e). A differential reading BELOW this is
+        # impossible (observed once at iters=30: enc1 "8.6us" vs an
+        # 87us floor) and marks the row unreliable rather than being
+        # recorded. Train regime ~3x forward (fwd + dgrad + wgrad,
+        # stride-2 so dilation zeros are skipped either way).
+        if args.convt:
+            out_elems = args.batch * (2 * h) * (2 * w_) * cout
+            fwd_flops = 2 * out_elems * (16 // 4) * cin
+        else:
+            out_elems = args.batch * (h // 2) * (w_ // 2) * cout
+            fwd_flops = 2 * out_elems * 16 * cin
+        floor = {'infer': fwd_flops / 197e12,
+                 'train': 3 * fwd_flops / 197e12}
+
+        def measure(timer, op, regime):
             # one retry on an all-non-positive rep set (transient host
-            # contention); a second failure marks the row unreliable
+            # contention) or a sub-floor reading; a second failure
+            # marks the row unreliable
             for attempt in (0, 1):
                 try:
-                    return timer(op, x, wt, args.iters, args.reps)
+                    t = timer(op, x, wt, args.iters, args.reps)
+                    if t >= floor[regime] * 0.9:
+                        return t
+                    err = (f'{t * 1e6:.1f}us below the {regime} MXU '
+                           f'floor {floor[regime] * 1e6:.1f}us')
                 except ValueError as e:
-                    if attempt:
-                        print(json.dumps({'layer': name,
-                                          'unreliable': str(e)[:160]}),
-                              flush=True)
-                        return None
+                    err = str(e)[:160]
+                if attempt:
+                    print(json.dumps({'layer': name, 'unreliable': err}),
+                          flush=True)
+                    return None
         for regime, timer in (('infer', timed), ('train', timed_grad)):
-            t_x = measure(timer, ops[0])
-            t_f = measure(timer, ops[1])
+            t_x = measure(timer, ops[0], regime)
+            t_f = measure(timer, ops[1], regime)
             row[f'{regime}_xla_us'] = round(t_x * 1e6, 1) if t_x else None
             row[f'{regime}_fused_us'] = round(t_f * 1e6, 1) if t_f \
                 else None

@@ -97,7 +97,7 @@ def capture(steps, batch, size, auto_layout=False, s2d=False):
 # text that capture() saves alongside the trace (module.hlo.txt).
 
 _ENTRY_OP_RE = re.compile(
-    r'^\s*%?([\w.\-]+) = \(?[\w\[\],\s]*.*?\s([a-z\-]+)\(')
+    r'^\s*(?:ROOT )?%?([\w.\-]+) = \(?[\w\[\],\s]*.*?\s([a-z\-]+)\(')
 _CALLS_RE = re.compile(r'(?:calls|to_apply)=%?([\w.\-]+)')
 _BODY_OP_RE = re.compile(
     r'= \(?\w+\[[^\]]*\]\{[^}]*\}\s*([a-z\-]+)\(')
@@ -183,6 +183,131 @@ def categorize(name, entry_ops=None, bodies=None):
     return f'other ({opcode})'
 
 
+_SHAPE_RE = re.compile(r'(bf16|f32|f16|s32|u32|s8|u8|pred)\[([\d,]*)\]')
+_DTYPE_BYTES = {'bf16': 2, 'f16': 2, 'f32': 4, 's32': 4, 'u32': 4,
+                's8': 1, 'u8': 1, 'pred': 1}
+_DEF_RE = re.compile(r'^\s*(?:ROOT )?%?([\w.\-]+) = \w+\[([\d,]*)\]')
+_CONV_LINE_RE = re.compile(
+    r'= \w+\[([\d,]*)\]\S* convolution\(%?([\w.\-]+), %?([\w.\-]+)\)')
+_DIM_LABELS_RE = re.compile(r'dim_labels=[\w?]+_([\w?]+)->')
+
+
+def _elems(dims):
+    n = 1
+    for d in dims.split(','):
+        if d:
+            n *= int(d)
+    return n
+
+
+def collect_shapes(lines):
+    """{op name: dims-string} for every op defined in these lines."""
+    out = {}
+    for ln in lines:
+        m = _DEF_RE.match(ln)
+        if m:
+            out[m.group(1)] = m.group(2)
+    return out
+
+
+def conv_flops_in_body(body_lines, shapes):
+    """Sum MXU FLOPs of every convolution in an HLO computation.
+
+    Optimized-HLO operands are name-only, so the rhs (kernel) shape is
+    resolved through ``shapes`` (the computation's own defs overlaid on
+    the module-global map). For a conv with output O and rhs R whose
+    dim_labels rhs spec places the output-feature dim at index i, the
+    contraction size is prod(R)/R[i], so FLOPs = 2*prod(O)*prod(R)/R[i]
+    (exact for feature_group_count=1; wgrad convs relabel dims but the
+    identity holds for every labeling since O carries the rhs
+    output-feature dim exactly once).
+    """
+    total = 0
+    local = {**shapes, **collect_shapes(body_lines)}
+    for ln in body_lines:
+        m = _CONV_LINE_RE.search(ln)
+        if not m:
+            continue
+        out, _, rhs_name = m.groups()
+        rhs = local.get(rhs_name)
+        dl = _DIM_LABELS_RE.search(ln)
+        if rhs is None or dl is None or 'o' not in dl.group(1):
+            continue
+        rhs_dims = [int(d) for d in rhs.split(',') if d]
+        contraction = 1
+        for pos, d in zip(dl.group(1), rhs_dims):
+            if pos != 'o':
+                contraction *= d
+        flops = 2 * _elems(out) * contraction
+        # lhs-dilated convs (convT forward, stride-2 dgrad): 1-1/d^2 of
+        # the taps hit inserted zeros and the TPU conv emitter skips
+        # them (measured: the segregated-convT rewrite is NOT faster),
+        # so the effective MXU work is flops / prod(lhs_dilate)
+        ld = re.search(r'lhs_dilate=(\d+)x(\d+)', ln)
+        if ld:
+            flops //= int(ld.group(1)) * int(ld.group(2))
+        total += flops
+    return total
+
+
+def op_bytes(full_text):
+    """Approximate HBM bytes touched by one entry op: sum of all shape
+    literals in its one-line HLO text (output + operands)."""
+    return sum(_elems(dims) * _DTYPE_BYTES[dt]
+               for dt, dims in _SHAPE_RE.findall(full_text))
+
+
+def fusion_efficiency_table(busiest, entry_ops, bodies, shapes, steps,
+                            top, peak_tflops=197.0, peak_gbps=819.0):
+    """Per-conv-fusion ranking: time, FLOPs, bytes, MXU%, HBM%.
+
+    The two utilisation columns say which roof each fusion sits under:
+    a fusion at 80% HBM / 20% MXU is bandwidth-bound (fewer bytes is
+    the only lever); one at low/low has a lowering problem worth
+    attacking.
+    """
+    rows = []
+    for name, ps in busiest.items():
+        m = re.match(r'%?([\w.\-]+) = ', name)
+        opname = m.group(1) if m else name
+        opcode, calls = entry_ops.get(opname, (None, None))
+        if opcode is None:
+            m2 = _ENTRY_OP_RE.match(name)
+            opcode = m2.group(2) if m2 else None
+            c2 = _CALLS_RE.search(name)
+            calls = c2.group(1) if c2 else None
+        if opcode == 'fusion' and calls:
+            body = bodies.get(calls, [])
+        elif opcode == 'convolution':
+            body = [name]
+        else:
+            continue
+        flops = conv_flops_in_body(body, shapes)
+        if not flops:
+            continue
+        sec = ps / 1e12 / steps
+        byts = op_bytes(name)
+        rows.append({
+            'op': opname,
+            'us': round(sec * 1e6, 1),
+            'gflop': round(flops / 1e9, 2),
+            'mbytes': round(byts / 1e6, 1),
+            'mxu_pct': round(flops / sec / 1e12 / peak_tflops * 100, 1),
+            'hbm_pct': round(byts / sec / 1e9 / peak_gbps * 100, 1),
+        })
+    rows.sort(key=lambda r: -r['us'])
+    tot_us = sum(r['us'] for r in rows)
+    tot_gf = sum(r['gflop'] for r in rows)
+    print(json.dumps({'conv_fusions': len(rows),
+                      'total_us_per_step': round(tot_us, 1),
+                      'total_gflop': round(tot_gf, 1),
+                      'avg_mxu_pct': round(
+                          tot_gf / (tot_us / 1e6) / 1e3 / 197.0 * 100, 1)
+                      if tot_us else None}))
+    for r in rows[:top]:
+        print(json.dumps(r))
+
+
 def analyze(outdir, steps, top):
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
@@ -241,6 +366,10 @@ def analyze(outdir, steps, top):
     if os.path.exists(hlo_path):
         with open(hlo_path) as f:
             bodies, entry_ops = parse_hlo_computations(f.read())
+    shapes = {}
+    if os.path.exists(hlo_path):
+        with open(hlo_path) as f:
+            shapes = collect_shapes(f.read().splitlines())
     cats = collections.Counter()
     for name, ps in busiest.items():
         cats[categorize(name, entry_ops, bodies)] += ps
@@ -251,6 +380,9 @@ def analyze(outdir, steps, top):
     for name, ps in busiest.most_common(top):
         print(json.dumps({'op': name[:100],
                           'us_per_step': round(ps / 1e6 / steps, 1)}))
+    if bodies or entry_ops:
+        fusion_efficiency_table(busiest, entry_ops, bodies, shapes,
+                                steps, top)
 
 
 def _planes(xplane_pb2, path):
