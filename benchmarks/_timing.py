@@ -21,7 +21,7 @@ meaningless, both observed and documented in BENCHMARKS.md):
 import time
 
 
-def diff_time(arms, short, long_, reps=3, fetch=float):
+def diff_time(arms, short, long_, reps=3, fetch=float, full=False):
     """Differential-time several arms, interleaved.
 
     arms: {name: (run_short, run_long)} of ZERO-ARG callables, each
@@ -38,6 +38,9 @@ def diff_time(arms, short, long_, reps=3, fetch=float):
     non-positive the measurement is meaningless (e.g. another process
     was timesharing the host) and a ValueError says so instead of
     returning garbage.
+
+    full=True returns {name: [positive per-rep diffs]} instead, so the
+    caller can report a variance bound alongside the estimate.
     """
     for run_s, run_l in arms.values():  # compile + warm every arm
         fetch(run_s())
@@ -60,12 +63,13 @@ def diff_time(arms, short, long_, reps=3, fetch=float):
                 f"arm {n!r}: all differential reps non-positive "
                 f"({[round(v * 1e6, 1) for v in vals]} us) -- host "
                 f"contention or the scan body got optimized away")
-        out[n] = min(pos)
+        out[n] = pos if full else min(pos)
     return out
 
 
-def diff_time_one(run_of_length, short, long_, reps=3, fetch=float):
+def diff_time_one(run_of_length, short, long_, reps=3, fetch=float,
+                  full=False):
     """Single-arm convenience: run_of_length(n) builds the jitted
     scan-of-n thunk; returns seconds per iteration."""
     arms = {'_': (run_of_length(short), run_of_length(long_))}
-    return diff_time(arms, short, long_, reps, fetch)['_']
+    return diff_time(arms, short, long_, reps, fetch, full)['_']

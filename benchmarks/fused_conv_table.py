@@ -16,6 +16,14 @@ in two regimes:
 Prints one JSON line per (shape, regime) with img/s-equivalent times
 and the fused/xla speedup; exits with a summary table suitable for
 baking into ops/pallas/dispatch_table.py.
+
+Round-4 hardening: a FIXED scan length was still noise-dominated for
+the small shapes (a 10us op x 60 iters is a 0.6 ms chain vs ~1 ms
+relay jitter -- three iters=60 runs disagreed 0.02x..5.8x on enc6).
+The chain length is now derived PER SHAPE from the op's MXU floor so
+every long chain is >= --chain-ms of device time (default 60 ms);
+relay jitter then amortizes below ~2%, and each row carries its
+per-rep spread as an explicit variance bound.
 """
 
 import argparse
@@ -85,7 +93,9 @@ def fused_convt_op(x, w):
 def _diff_time(body, x, iters, reps):
     """Differential scan timing via benchmarks/_timing.py: the fixed
     per-dispatch cost (the axon relay round-trip is ~1 ms, swamping
-    sub-ms ops) cancels exactly; only true per-op device time remains."""
+    sub-ms ops) cancels exactly; only true per-op device time remains.
+
+    Returns (min positive per-rep diff, relative per-rep spread)."""
     short, long_ = max(iters // 6, 2), iters
 
     def runner(length):
@@ -96,7 +106,9 @@ def _diff_time(body, x, iters, reps):
             return c
         return run
 
-    return diff_time_one(runner, short, long_, reps)
+    diffs = diff_time_one(runner, short, long_, reps, full=True)
+    t = min(diffs)
+    return t, (max(diffs) - t) / t
 
 
 def timed(fn, x, w, iters, reps):
@@ -123,7 +135,10 @@ def timed_grad(fn, x, w, iters, reps):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--batch', type=int, default=16)
-    ap.add_argument('--iters', type=int, default=30)
+    ap.add_argument('--chain-ms', type=float, default=60.0,
+                    help='target device time of the LONG scan chain, '
+                         'sized per shape from the MXU floor')
+    ap.add_argument('--max-iters', type=int, default=40000)
     ap.add_argument('--reps', type=int, default=3)
     ap.add_argument('--dtype', default='bfloat16')
     ap.add_argument('--convt', action='store_true',
@@ -176,6 +191,13 @@ def main():
             fwd_flops = 2 * out_elems * 16 * cin
         floor = {'infer': fwd_flops / 197e12,
                  'train': 3 * fwd_flops / 197e12}
+        # chain length so the LONG arm is >= chain_ms of device time
+        # even if the op ran AT the MXU floor (real ops are slower, so
+        # real chains are longer); lax.scan is rolled, so length does
+        # not grow the compiled program
+        iters = {r: min(args.max_iters,
+                        max(30, int(args.chain_ms * 1e-3 / floor[r])))
+                 for r in floor}
 
         def measure(timer, op, regime):
             # one retry on an all-non-positive rep set (transient host
@@ -183,9 +205,9 @@ def main():
             # marks the row unreliable
             for attempt in (0, 1):
                 try:
-                    t = timer(op, x, wt, args.iters, args.reps)
+                    t, var = timer(op, x, wt, iters[regime], args.reps)
                     if t >= floor[regime] * 0.9:
-                        return t
+                        return t, var
                     err = (f'{t * 1e6:.1f}us below the {regime} MXU '
                            f'floor {floor[regime] * 1e6:.1f}us')
                 except ValueError as e:
@@ -193,21 +215,28 @@ def main():
                 if attempt:
                     print(json.dumps({'layer': name, 'unreliable': err}),
                           flush=True)
-                    return None
+                    return None, None
         for regime, timer in (('infer', timed), ('train', timed_grad)):
-            t_x = measure(timer, ops[0], regime)
-            t_f = measure(timer, ops[1], regime)
+            t_x, v_x = measure(timer, ops[0], regime)
+            t_f, v_f = measure(timer, ops[1], regime)
             row[f'{regime}_xla_us'] = round(t_x * 1e6, 1) if t_x else None
             row[f'{regime}_fused_us'] = round(t_f * 1e6, 1) if t_f \
                 else None
             row[f'{regime}_speedup'] = round(t_x / t_f, 3) \
                 if t_x and t_f else None
+            row[f'{regime}_var'] = round(max(v_x, v_f), 3) \
+                if t_x and t_f else None
+            row[f'{regime}_iters'] = iters[regime]
         table[name] = row
         print(json.dumps({'layer': name, **row}), flush=True)
 
+    # a winner must BEAT XLA on inference, not lose training, and both
+    # readings must be tight enough to trust (<10% per-rep spread)
     winners = [n for n, r in table.items()
                if (r['infer_speedup'] or 0) > 1.05
-               and (r['train_speedup'] or 0) > 0.98]
+               and (r['train_speedup'] or 0) > 0.98
+               and (r['infer_var'] or 1) < 0.10
+               and (r['train_var'] or 1) < 0.10]
     print(json.dumps({'winners_infer_and_train_neutral': winners}))
 
 
