@@ -250,3 +250,88 @@ def test_model_level_fused_conv_vs_xla(rng):
                                    rtol=1e-4, atol=1e-5)
     finally:
         os.environ.pop('PATCHGAN_FUSED_CONV', None)
+
+
+# ---------------------------------------------------------------------
+# thin-channel im2col conv kernels (ops/pallas/thin_conv.py)
+
+def _conv3_xla(x, w):
+    return jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+
+@pytest.mark.parametrize('cin,cout', [(12, 64), (4, 64), (16, 8)])
+def test_thin_conv_forward_and_grads(rng, cin, cout):
+    os.environ['PATCHGAN_THIN_CONV'] = 'interpret'
+    try:
+        from patchgan_tpu.ops.pallas.thin_conv import thin_conv3x3
+        x = jnp.asarray(rng.normal(size=(2, 128, 128, cin))
+                        .astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(3, 3, cin, cout))
+                        .astype(np.float32) * 0.1)
+        np.testing.assert_allclose(np.asarray(thin_conv3x3(x, w)),
+                                   np.asarray(_conv3_xla(x, w)),
+                                   rtol=1e-5, atol=1e-5)
+
+        def loss(f):
+            return lambda x_, w_: jnp.sum(jnp.sin(f(x_, w_)))
+
+        gx, gw = jax.grad(loss(thin_conv3x3), (0, 1))(x, w)
+        rx, rw = jax.grad(loss(_conv3_xla), (0, 1))(x, w)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gw), np.asarray(rw),
+                                   rtol=1e-4, atol=2e-3)
+    finally:
+        os.environ.pop('PATCHGAN_THIN_CONV', None)
+
+
+def test_thin_conv_gate():
+    from patchgan_tpu.ops.pallas.thin_conv import thin_conv_supported
+    os.environ['PATCHGAN_THIN_CONV'] = 'interpret'
+    try:
+        x = jnp.zeros((2, 128, 128, 12), jnp.bfloat16)
+        w = jnp.zeros((3, 3, 12, 64), jnp.bfloat16)
+        assert thin_conv_supported(x, w)
+        # not thin / wrong kernel / unaligned spatial -> XLA
+        assert not thin_conv_supported(
+            jnp.zeros((2, 128, 128, 64), jnp.bfloat16),
+            jnp.zeros((3, 3, 64, 64), jnp.bfloat16))
+        assert not thin_conv_supported(
+            x, jnp.zeros((4, 4, 12, 64), jnp.bfloat16))
+        assert not thin_conv_supported(
+            jnp.zeros((2, 128, 96, 12), jnp.bfloat16),
+            jnp.zeros((3, 3, 12, 64), jnp.bfloat16))
+        # measured loss at Cin=4 (BENCHMARKS.md thin-conv table)
+        assert not thin_conv_supported(
+            jnp.zeros((2, 128, 128, 4), jnp.bfloat16),
+            jnp.zeros((3, 3, 4, 64), jnp.bfloat16))
+        os.environ['PATCHGAN_THIN_CONV'] = 'off'
+        assert not thin_conv_supported(x, w)
+    finally:
+        os.environ.pop('PATCHGAN_THIN_CONV', None)
+
+
+def test_thin_conv_through_s2d_boundary(rng):
+    """conv2d_s2d (the enc0 / disc-conv0 dispatch site) produces the
+    same result with the thin-conv kernel as with XLA, including the
+    split-input (x2) form."""
+    from patchgan_tpu.ops.s2d import conv2d_s2d, space_to_depth
+    x = jnp.asarray(rng.normal(size=(2, 256, 256, 3)).astype(np.float32))
+    x2 = jnp.asarray(rng.normal(size=(2, 256, 256, 1)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(4, 4, 4, 64)).astype(np.float32)
+                    * 0.1)
+    xs, x2s = space_to_depth(x), space_to_depth(x2)
+    os.environ['PATCHGAN_THIN_CONV'] = 'interpret'
+    try:
+        got = conv2d_s2d(xs, w, x2=x2s)
+    finally:
+        os.environ.pop('PATCHGAN_THIN_CONV', None)
+    os.environ['PATCHGAN_THIN_CONV'] = 'off'
+    try:
+        expected = conv2d_s2d(xs, w, x2=x2s)
+    finally:
+        os.environ.pop('PATCHGAN_THIN_CONV', None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=1e-4, atol=1e-4)
