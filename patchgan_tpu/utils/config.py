@@ -14,6 +14,8 @@ disagree):
   level (the shipped example's layout).
 """
 
+import warnings
+
 import yaml
 
 
@@ -22,12 +24,34 @@ def load_config(path):
         return yaml.safe_load(infile)
 
 
+_NESTED_GEN_KEYS = {'filters', 'activation', 'use_dropout',
+                    'final_activation'}
+_NESTED_DISC_KEYS = {'filters', 'norm', 'n_layers'}
+_FLAT_KEYS = {'gen_filts', 'disc_filts', 'n_disc_layers', 'activation',
+              'use_dropout', 'final_activation', 'norm'}
+
+
+def _warn_unknown(keys, known, where):
+    unknown = sorted(set(keys) - known)
+    if unknown:
+        # a typo'd or mis-schema'd key (e.g. flat `filters:`) would
+        # otherwise silently fall back to defaults — a 25M-param model
+        # where the user asked for a tiny one
+        warnings.warn(
+            f"ignoring unrecognised {where} key(s) {unknown}; "
+            f"recognised keys are {sorted(known)}", stacklevel=3)
+
+
 def model_params(config):
     """Normalise model_params into (generator_cfg, discriminator_cfg)."""
     mp = config.get('model_params', {})
     if 'generator' in mp or 'discriminator' in mp:
         gcfg = dict(mp.get('generator', {}))
         dcfg = dict(mp.get('discriminator', {}))
+        _warn_unknown(mp, {'generator', 'discriminator'}, 'model_params')
+        _warn_unknown(gcfg, _NESTED_GEN_KEYS, 'model_params.generator')
+        _warn_unknown(dcfg, _NESTED_DISC_KEYS,
+                      'model_params.discriminator')
         gen = {
             'filters': gcfg.get('filters', 64),
             'activation': gcfg.get('activation', 'tanh'),
@@ -40,6 +64,7 @@ def model_params(config):
             'n_layers': dcfg.get('n_layers', 3),
         }
     else:
+        _warn_unknown(mp, _FLAT_KEYS, 'model_params')
         gen = {
             'filters': mp.get('gen_filts', 64),
             'activation': mp.get('activation', 'tanh'),

@@ -34,6 +34,30 @@ def test_model_params_flat_schema():
     assert disc['filters'] == 4 and disc['n_layers'] == 2
 
 
+def test_model_params_unknown_keys_warn():
+    # flat `filters:` (a real foot-gun: neither schema's key) must not
+    # silently fall back to the 64-filter default without a warning
+    with pytest.warns(UserWarning, match="filters"):
+        gen, _ = model_params({'model_params': {'filters': 4}})
+    assert gen['filters'] == 64          # behaviour unchanged, just loud
+
+    with pytest.warns(UserWarning, match="n_layers"):
+        model_params({'model_params': {
+            'generator': {'filters': 8}, 'n_layers': 5}})
+    with pytest.warns(UserWarning, match="norm"):
+        model_params({'model_params': {
+            'generator': {'filters': 8, 'norm': True}}})
+
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter('error')
+        model_params({'model_params': {
+            'generator': {'filters': 8, 'activation': 'relu'},
+            'discriminator': {'filters': 4, 'n_layers': 2}}})
+        model_params({'model_params': {
+            'gen_filts': 8, 'disc_filts': 4, 'n_disc_layers': 2}})
+
+
 def test_dataset_paths_variants():
     nested = {'dataset': {'train_data': {'images': 'a'},
                           'validation_data': {'images': 'b'}}}
