@@ -33,6 +33,8 @@ def main():
     args = ap.parse_args()
 
     from patchgan_tpu.models import UNet
+    from patchgan_tpu.ops.tapdot import set_tapdot_regime
+    set_tapdot_regime('infer')   # forward-only, as the InferenceEngine
     model = UNet(input_nc=3, output_nc=1, nf=64, final_act='sigmoid',
                  dtype=jnp.bfloat16, s2d=args.s2d)
     if args.s2d:

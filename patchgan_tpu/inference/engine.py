@@ -98,6 +98,11 @@ class InferenceEngine:
         self.size = size
         self.overlap = overlap
         self.threshold = threshold
+        # forward-only programs: dispatch the thin boundary convs to
+        # the forms measured fastest WITHOUT a backward (trace-time
+        # switch, see ops/tapdot.py and BENCHMARKS.md "tap-dot")
+        from ..ops.tapdot import set_tapdot_regime
+        set_tapdot_regime('infer')
         self.mesh = mesh
         self.n_devices = mesh.devices.size if mesh is not None else 1
         # keep the bucket a multiple of the mesh size so crop batches

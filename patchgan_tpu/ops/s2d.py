@@ -119,13 +119,19 @@ def up_kernel_s2d(wf):
 
 
 def _conv3(x, k):
-    # thin-channel boundary convs (enc0 / disc conv0): XLA's per-tap
-    # conv emitter runs these at 3-12% MXU; the Pallas im2col kernel
-    # contracts K=9*Cin instead (ops/pallas/thin_conv.py, measured
-    # per-shape + full-model in BENCHMARKS.md "thin-conv kernels")
+    # thin-channel boundary convs (enc0 / disc conv0 / dec6 head): XLA's
+    # per-tap conv emitter runs these at 3-12% MXU (BENCHMARKS.md #16).
+    # Two escapes, dispatched here:
+    # - opt-in Pallas im2col kernel (ops/pallas/thin_conv.py; neutral at
+    #   full-step level on the current toolchain, BENCHMARKS.md #18);
+    # - pure-XLA tap-dot forms (ops/tapdot.py) that keep layout/fusion
+    #   control inside XLA (BENCHMARKS.md "tap-dot thin convs").
     from .pallas.thin_conv import thin_conv3x3, thin_conv_supported
     if thin_conv_supported(x, k):
         return thin_conv3x3(x, k)
+    from .tapdot import tapdot_conv3, tapdot_form
+    if tapdot_form(x, k) is not None:
+        return tapdot_conv3(x, k)
     return lax.conv_general_dilated(
         x, k.astype(x.dtype), window_strides=(1, 1),
         padding=[(1, 1), (1, 1)], dimension_numbers=_DIMS)

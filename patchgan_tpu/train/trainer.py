@@ -105,6 +105,13 @@ class Trainer:
         self.generator = generator
         self.discriminator = discriminator
 
+        # train programs: thin boundary convs dispatch to the forms
+        # measured fastest WITH a backward (trace-time switch; an
+        # InferenceEngine constructed later flips it to 'infer' for its
+        # own traces — see ops/tapdot.py)
+        from ..ops.tapdot import set_tapdot_regime
+        set_tapdot_regime('train')
+
         if savefolder[-1] != '/':
             savefolder += '/'
         self.savefolder = savefolder
