@@ -90,8 +90,12 @@ def tapdot_form(x, k):
     cin, cout = k.shape[2], k.shape[3]
     if k.shape[:2] != (3, 3) or cin != x.shape[-1]:
         return None
-    enabled = _AUTO_FORMS[_regime] if mode == 'auto' else \
-        ('tapconcat', 'tapmerge')
+    if mode == 'auto':
+        enabled = _AUTO_FORMS[_regime]
+    elif mode in ('tapconcat', 'tapmerge'):   # single-form A/B arms
+        enabled = (mode,)
+    else:
+        enabled = ('tapconcat', 'tapmerge')
     if _MIN_THIN_CIN <= cin <= _MAX_THIN_CIN and 'tapconcat' in enabled:
         return 'tapconcat'
     if cout <= _MAX_THIN_COUT and 'tapmerge' in enabled:
