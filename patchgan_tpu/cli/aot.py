@@ -147,9 +147,12 @@ def patchgan_aot(argv=None):
     disc = Discriminator(input_nc=in_channels + out_channels,
                          ndf=disc_filts, n_layers=n_layers, dtype=dtype,
                          s2d=s2d)
-    mu_dtype = jnp.bfloat16 if dtype == jnp.bfloat16 else None
-    gen_tx = make_optimizer(1e-3, mu_dtype=mu_dtype)
-    disc_tx = make_optimizer(1e-3, mu_dtype=mu_dtype)
+    # mirror the Trainer's SHIPPING default (trainer.py adam_mu_dtype =
+    # None -> fp32 first moments): a pre-flight fit verdict computed
+    # with bf16 moments would understate what patchgan_train actually
+    # allocates and pass configs that OOM for real
+    gen_tx = make_optimizer(1e-3, mu_dtype=None)
+    disc_tx = make_optimizer(1e-3, mu_dtype=None)
     state = jax.eval_shape(
         lambda: init_train_state(gen, disc, (1, size, size, in_channels),
                                  out_channels, gen_tx, disc_tx, seed=0))

@@ -22,6 +22,7 @@ import os
 import tqdm
 
 from ..inference import InferenceEngine
+from ..inference.engine import _ReadyMask
 from ..models import UNet
 from ..utils import checkpoint as ckpt
 from ..utils.config import load_config, model_params
@@ -146,20 +147,13 @@ def patchgan_infer(argv=None):
             if mode == 'tiled':
                 handle = engine.predict_image_async(image)
             else:
-                handle = _Ready(engine.predict_image(image, mode=mode))
+                handle = _ReadyMask(
+                    engine.predict_image(image, mode=mode))
             if prev is not None:
                 Dataset.save_mask(prev[0].result(), output_path, prev[1])
             prev = (handle, out_fname)
         if prev is not None:
             Dataset.save_mask(prev[0].result(), output_path, prev[1])
-
-
-class _Ready:
-    def __init__(self, mask):
-        self._mask = mask
-
-    def result(self):
-        return self._mask
 
 
 if __name__ == '__main__':

@@ -14,9 +14,13 @@ labels/one-hot semantics, same loader protocol (``load_raw_u8`` /
 
 Shard format: each shard is an (optionally gzip'd) ``.tar`` whose
 members pair ``<id>.jpg`` (RGB image) with ``<id>.png`` (grayscale
-labelmap) by basename, in any member order. Masks may be absent for
-inference-only shards. Pairs are globally ordered by (shard path,
-basename), so epoch order is deterministic across hosts.
+labelmap), in any member order. ``<id>`` is the member path minus
+extension (webdataset semantics — basename-only keys would silently
+collide across subdirectories); a split layout like ``images/0001.jpg``
++ ``masks/0001.png`` is also accepted, resolved by unique basename
+(ambiguous basenames raise). Masks may be absent for inference-only
+shards. Pairs are globally ordered by (shard path, member path), so
+epoch order is deterministic across hosts.
 """
 
 import glob as _glob
@@ -84,8 +88,30 @@ class TarShardDataset:
                         f"duplicate member stem {stem!r} in shard "
                         f"{path!r}: {table[stem]!r} vs {n!r}")
                 table[stem] = n
+            # split layouts (images/0001.jpg + masks/0001.png) have no
+            # full-path match: resolve leftover masks by UNIQUE
+            # basename; ambiguous basenames raise rather than mispair
+            unmatched = {s: n for s, n in pngs.items() if s not in jpgs}
+            by_base = {}
+            for s, n in unmatched.items():
+                by_base.setdefault(os.path.basename(s), []).append(n)
+            fallback_jpg_bases = [os.path.basename(s) for s in jpgs
+                                  if s not in pngs]
             for stem in sorted(jpgs):
-                self._index.append((si, jpgs[stem], pngs.get(stem)))
+                png = pngs.get(stem)
+                if png is None and unmatched:
+                    base = os.path.basename(stem)
+                    cands = by_base.get(base, [])
+                    if cands and (len(cands) > 1
+                                  or fallback_jpg_bases.count(base) > 1):
+                        raise ValueError(
+                            f"ambiguous mask basename for {jpgs[stem]!r}"
+                            f" in shard {path!r}: images "
+                            f"{[n for s, n in jpgs.items() if os.path.basename(s) == base]!r}"
+                            f" vs masks {sorted(cands)!r}")
+                    if cands:
+                        png = cands[0]
+                self._index.append((si, jpgs[stem], png))
         self._local = threading.local()  # per-thread open tar handles
         print(f"Loaded {len(self)} images from {len(paths)} shards")
 

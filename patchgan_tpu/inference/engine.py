@@ -127,6 +127,12 @@ class InferenceEngine:
         model_dtype = getattr(generator, 'dtype', jnp.float32)
         if model_dtype != jnp.float32:
             def precast(p):
+                if isinstance(p, jax.Array):
+                    # already on device: cast there (a host fetch of a
+                    # ~100 MB tree through a remote-TPU relay takes
+                    # seconds; no-op casts return p unchanged)
+                    return p if p.dtype != jnp.float32 \
+                        else p.astype(model_dtype)
                 arr = np.asarray(p)  # host cast once, then one put
                 return arr.astype(model_dtype) \
                     if arr.dtype == np.float32 else arr
@@ -194,6 +200,8 @@ class InferenceEngine:
     def predict_tiles(self, crops):
         """(N, size, size, C) -> (N, size, size, out_C), batched through a
         fixed-size jitted forward (sharded across the mesh if present)."""
+        from ..ops.tapdot import set_tapdot_regime
+        set_tapdot_regime('infer')   # lazy first trace of _forward
         n = crops.shape[0]
         bs = min(self.batch_size,
                  _round_up(n, max(8, self.n_devices)))
@@ -215,9 +223,14 @@ class InferenceEngine:
         the scan's tile order equals the host loop's, so the float
         accumulation order matches build_mask exactly."""
         key = (canvas_hw, c_in, n_chunks, bs)
-        prog = self._dev_programs.get(key)
+        prog = self._dev_programs.pop(key, None)
         if prog is not None:
+            self._dev_programs[key] = prog   # re-insert: LRU recency
             return prog
+        # forward-only trace: assert the dispatch regime right before
+        # this program is built (cf. ops/tapdot.py)
+        from ..ops.tapdot import set_tapdot_regime
+        set_tapdot_regime('infer')
         size, threshold = self.size, self.threshold
         fwd = self._fwd_raw
         hp, wp = canvas_hw
@@ -286,7 +299,12 @@ class InferenceEngine:
         else:
             cast = None
         prog = (jax.jit(run), cast)
+        # bounded LRU: quantization (predict_image_async) keeps the
+        # working set tiny, but a long-lived server should not pin one
+        # resident executable per shape it has ever seen
         self._dev_programs[key] = prog
+        while len(self._dev_programs) > 16:
+            self._dev_programs.pop(next(iter(self._dev_programs)))
         return prog
 
     def predict_image_async(self, image):
@@ -309,14 +327,32 @@ class InferenceEngine:
         n = pos.shape[0]
         bs = min(self.batch_size, _round_up(n, 8))
         n_pad = _round_up(n, bs)
+        # QUANTIZE the compiled-program signature so heterogeneous
+        # image sizes share executables: the canvas rounds up to a
+        # 128-px grid and the chunk count to a power of two (all-
+        # invalid padding chunks). Tile POSITIONS stay computed from
+        # the true padded size, so gathers/scatters never touch the
+        # quantization band and the stitch is bit-identical; the fetch
+        # is cropped to (h, w) regardless. Without this, a folder of
+        # arbitrary photos compiles one program per distinct (H, W) —
+        # minutes per compile through a remote-TPU relay.
+        hq = _round_up(hp, 128)
+        wq = _round_up(wp, 128)
+        if (hq, wq) != (hp, wp):
+            image = np.pad(image, ((0, hq - hp), (0, wq - wp), (0, 0)))
+        n_chunks = n_pad // bs
+        n_chunks_q = 1
+        while n_chunks_q < n_chunks:
+            n_chunks_q *= 2
+        n_pad = n_chunks_q * bs
         valid = np.zeros((n_pad,), np.float32)
         valid[:n] = 1.0
         pos = np.concatenate(
             [pos, np.zeros((n_pad - n, 2), np.int32)], axis=0)
-        prog, cast = self._tiled_program((hp, wp), c_in, n_pad // bs, bs)
+        prog, cast = self._tiled_program((hq, wq), c_in, n_chunks_q, bs)
         dev = prog(self.g_params, image,
-                   pos.reshape(n_pad // bs, bs, 2),
-                   valid.reshape(n_pad // bs, bs))
+                   pos.reshape(n_chunks_q, bs, 2),
+                   valid.reshape(n_chunks_q, bs))
         return _PendingMask(dev, h, w, cast)
 
     def predict_image(self, image, mode='tiled'):

@@ -119,6 +119,12 @@ def instance_norm(x, eps=1e-5, activation=None, use_pallas=True):
                                                 activation=activation)
         except ImportError:  # pragma: no cover - pallas unavailable
             pass
-    if _norm_vjp_mode() == 'custom' and activation in _CUSTOM_VJP_ACTS:
+    # the custom backward recomputes xhat in f32; under
+    # PATCHGAN_BF16_NORM=on the forward computed a bf16-rounded xhat,
+    # so activation-derivative masks near rounding boundaries would
+    # disagree with the loss actually computed — fall back to autodiff
+    # rather than ship inconsistent gradients
+    if (_norm_vjp_mode() == 'custom' and activation in _CUSTOM_VJP_ACTS
+            and not _BF16_NORMALIZE):
         return _norm_act_cvjp(x, eps, activation)
     return _instance_norm_xla(x, eps, activation)

@@ -84,9 +84,7 @@ _MAX_THIN_COUT = 8   # tapmerge regime: N = 9*Cout <= 72
 
 def tapdot_form(x, k):
     """Which tap-dot form (if any) to use for conv3x3(x, k)."""
-    mode = _mode()
-    if mode == 'off':
-        return None
+    mode = _mode().lower()
     cin, cout = k.shape[2], k.shape[3]
     if k.shape[:2] != (3, 3) or cin != x.shape[-1]:
         return None
@@ -94,8 +92,12 @@ def tapdot_form(x, k):
         enabled = _AUTO_FORMS[_regime]
     elif mode in ('tapconcat', 'tapmerge'):   # single-form A/B arms
         enabled = (mode,)
-    else:
+    elif mode == 'on':
         enabled = ('tapconcat', 'tapmerge')
+    else:
+        # 'off' and anything unrecognised ('0', 'false', ...) DISABLE:
+        # a kill switch must fail in the disabling direction
+        return None
     if _MIN_THIN_CIN <= cin <= _MAX_THIN_CIN and 'tapconcat' in enabled:
         return 'tapconcat'
     if cout <= _MAX_THIN_COUT and 'tapmerge' in enabled:

@@ -163,6 +163,11 @@ class Trainer:
     def _get_step(self, train, s2d=False):
         key = (train, s2d, self._loss_key())
         if key not in self._step_cache:
+            # re-assert at every new trace, not just construction: an
+            # InferenceEngine built in between (validation previews)
+            # flips the trace-time regime to 'infer'
+            from ..ops.tapdot import set_tapdot_regime
+            set_tapdot_regime('train')
             gen, disc = (self._s2d_models() if s2d
                          else (self.generator, self.discriminator))
             if train:

@@ -640,6 +640,42 @@ def test_tar_shards_subdir_stems_and_duplicates(coco_dir, tmp_path):
         TarShardDataset(str(dup), labels=[1], size=32)
 
 
+def test_tar_shards_split_layout_basename_fallback(coco_dir, tmp_path):
+    """A split images/ + masks/ tar layout (no full-path stem match)
+    pairs by unique basename; ambiguous basenames raise instead of
+    mispairing."""
+    import os
+    import tarfile
+
+    from patchgan_tpu.data import TarShardDataset
+
+    imgdir, maskdir = coco_dir
+    tar_path = tmp_path / 'split.tar'
+    with tarfile.open(tar_path, 'w') as tf:
+        for i in range(2):
+            tf.add(os.path.join(imgdir, f'{i:012d}.jpg'),
+                   arcname=f'images/{i:04d}.jpg')
+            tf.add(os.path.join(maskdir, f'{i:012d}.png'),
+                   arcname=f'masks/{i:04d}.png')
+    ds = TarShardDataset(str(tar_path), labels=[1, 2, 3], size=32)
+    assert len(ds) == 2
+    ref = COCOStuffDataset(*coco_dir, labels=[1, 2, 3], size=32)
+    for i in range(2):
+        np.testing.assert_array_equal(ds.load_raw_u8(i)[1],
+                                      ref.load_raw_u8(i)[1])
+
+    amb = tmp_path / 'ambiguous.tar'
+    with tarfile.open(amb, 'w') as tf:
+        tf.add(os.path.join(imgdir, '000000000000.jpg'),
+               arcname='images/0001.jpg')
+        tf.add(os.path.join(maskdir, '000000000000.png'),
+               arcname='masks_a/0001.png')
+        tf.add(os.path.join(maskdir, '000000000001.png'),
+               arcname='masks_b/0001.png')
+    with pytest.raises(ValueError, match='ambiguous mask basename'):
+        TarShardDataset(str(amb), labels=[1], size=32)
+
+
 def test_tar_shards_handle_cache_bounded(coco_dir, tmp_path):
     """The per-thread open-tar LRU stays within its budget while every
     shard remains readable (unbounded caching leaks fds on long runs,

@@ -596,8 +596,14 @@ def test_shadow_params_trainer_bit_exact(tmp_path, rng, monkeypatch):
     assert step._shadow_fn is not None
     sh_losses = [t_sh.batch(x, y, train=True) for _ in range(2)]
     assert all(v is not None for v in step._cache.values())
-    # external touch: rebuild the state identity (shadow must re-derive)
-    t_sh.state = jax.tree.map(lambda a: a, t_sh.state)
+    # external touch: rebuild the state with NEW array identities —
+    # jax.tree.map(lambda a: a, ...) returns the SAME array objects and
+    # would leave the identity fast-path (and the cached shadow) in
+    # place; a device_put round-trip actually forces the format walk
+    # and the shadow re-derivation from the masters
+    t_sh.state = jax.tree.map(jax.device_put, t_sh.state)
+    assert step._last_out is None \
+        or t_sh.state.step is not step._last_out[1]()
     sh_losses.append(t_sh.batch(x, y, train=True))
 
     monkeypatch.setenv('PATCHGAN_SHADOW_PARAMS', 'off')
