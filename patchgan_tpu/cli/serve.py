@@ -5,7 +5,10 @@ A long-running inference service the reference has no analog for
 batch job): the generator is loaded ONCE, the tiled/spatial forward is
 compiled ONCE -- at STARTUP via a warmup forward, so the first request
 pays no jit-compile stall -- decode runs in look-ahead threads that
-overlap the device forward, a corrupt input is logged and skipped
+overlap the device forward, the watch/stdin loops keep one dispatched
+image in flight so the mask fetch + PNG save of image i-1 also overlap
+image i's device pipeline (engine.predict_image_async),
+a corrupt input is logged and skipped
 (remembered by mtime; one bad file never crashes the service), and
 ``--batch N`` groups backlog images' tiles through one bucketed
 forward. The process serves images either by
@@ -100,11 +103,19 @@ def _save(mask, output_path, path):
     return os.path.join(output_path, f'{fname}.png')
 
 
-def _serve_one(engine, mode, output_path, path, image=None):
+def _dispatch_one(engine, mode, path, image=None):
+    """Dispatch one image's forward; returns a handle whose
+    ``.result()`` is the stitched mask. In tiled mode the engine's async
+    path dispatches the whole on-device pipeline and returns before the
+    mask fetch, so the serve loops can overlap the device forward of
+    image i with the fetch + PNG save of image i-1 (the infer CLI's
+    pipelining pattern, cli/infer.py)."""
     if image is None:
         image = _decode(path)
-    mask = engine.predict_image(image, mode=mode)
-    return _save(mask, output_path, path)
+    if mode == 'tiled':
+        return engine.predict_image_async(image)
+    from ..inference.engine import _ReadyMask
+    return _ReadyMask(engine.predict_image(image, mode=mode))
 
 
 def _warmup(engine, mode):
@@ -167,6 +178,30 @@ def _watch_loop(engine, mode, output_path, watch_dir, poll, once,
 
     served = 0
     failed = {}  # path -> mtime at failure; retried if rewritten
+    prev = None  # in-flight (path, mask handle, dispatch t0)
+
+    def fail(path, e):
+        try:
+            failed[path] = os.path.getmtime(path)
+        except OSError:
+            pass
+        print(f"ERROR {path}: {e}", flush=True)
+
+    def resolve_prev():
+        nonlocal served, prev
+        if prev is None:
+            return
+        path, handle, t0 = prev
+        prev = None
+        try:
+            out = _save(handle.result(), output_path, path)
+            served += 1
+            print(f"{out}  "
+                  f"({(time.perf_counter() - t0) * 1e3:.0f} ms)",
+                  flush=True)
+        except Exception as e:
+            fail(path, e)
+
     with ThreadPoolExecutor(max_workers=max(1, workers)) as pool:
         while True:
             todo = []
@@ -212,20 +247,20 @@ def _watch_loop(engine, mode, output_path, watch_dir, poll, once,
                         group_imgs.append(image)
                         if len(group) >= batch:
                             flush_group()
-                    else:
-                        t0 = time.perf_counter()
-                        out = _serve_one(engine, mode, output_path, path,
-                                         image=image)
-                        served += 1
-                        print(f"{out}  "
-                              f"({(time.perf_counter() - t0) * 1e3:.0f}"
-                              f" ms)", flush=True)
+                        continue
+                    t0 = time.perf_counter()
+                    handle = _dispatch_one(engine, mode, path,
+                                           image=image)
                 except Exception as e:
-                    try:
-                        failed[path] = os.path.getmtime(path)
-                    except OSError:
-                        pass
-                    print(f"ERROR {path}: {e}", flush=True)
+                    resolve_prev()
+                    fail(path, e)
+                    continue
+                # image i is now dispatched: fetch+save image i-1 while
+                # the device runs (one handle in flight keeps memory
+                # flat and results in input order)
+                resolve_prev()
+                prev = (path, handle, t0)
+            resolve_prev()
             flush_group()
             if once:
                 print(f"served {served} images", flush=True)
@@ -256,14 +291,27 @@ def _stdin_loop(engine, mode, output_path, workers=2):
 
     done = False
     pending = deque()
+    prev = None  # in-flight (path, mask handle)
+
+    def resolve_prev():
+        nonlocal prev
+        if prev is None:
+            return
+        path, handle = prev
+        prev = None
+        try:
+            print(_save(handle.result(), output_path, path), flush=True)
+        except Exception as e:
+            print(f"ERROR {e}", flush=True)
+
     with ThreadPoolExecutor(max_workers=max(1, workers)) as pool:
         while True:
-            # top up the decode window; block ONLY when nothing is in
-            # flight (an interactive single line is served immediately,
-            # a piped backlog decodes ahead of the device)
+            # top up the decode window; block ONLY when nothing at all
+            # is in flight (an interactive single line is answered
+            # immediately; a piped backlog decodes ahead of the device)
             while not done and len(pending) < 2 * max(1, workers):
                 try:
-                    p = paths_q.get(block=not pending)
+                    p = paths_q.get(block=not pending and prev is None)
                 except queue.Empty:
                     break
                 if p is DONE:
@@ -271,16 +319,23 @@ def _stdin_loop(engine, mode, output_path, workers=2):
                 elif p:
                     pending.append((p, pool.submit(_decode, p)))
             if not pending:
+                # no further input queued: echo the in-flight result
+                # now rather than hold it until the next line arrives
+                resolve_prev()
                 if done:
                     return
                 continue
             path, fut = pending.popleft()
             try:
                 image = fut.result()
-                print(_serve_one(engine, mode, output_path, path,
-                                 image=image), flush=True)
+                handle = _dispatch_one(engine, mode, path, image=image)
             except Exception as e:
+                resolve_prev()
                 print(f"ERROR {e}", flush=True)
+                continue
+            # fetch+save of line i-1 overlaps line i's device forward
+            resolve_prev()
+            prev = (path, handle)
 
 
 def _encode_mask_png(mask):

@@ -399,3 +399,46 @@ def test_serve_http_endpoint():
     finally:
         captured['server'].shutdown()
         th.join(timeout=10)
+
+
+def test_serve_stdin_loop_pipelined(coco_tree, tmp_path, monkeypatch,
+                                    capsys):
+    """--stdin: one echoed mask path (or "ERROR <msg>") per input line,
+    in INPUT ORDER, under the round-4 pipelining (one dispatched image
+    kept in flight; its fetch+save overlaps the next forward). A
+    mid-stream bad path is isolated to its own ERROR line and the
+    trailing in-flight handle is resolved before the loop returns."""
+    import io as _io
+
+    from patchgan_tpu.cli.serve import _stdin_loop
+
+    class Handle:
+        def __init__(self, mask):
+            self._mask = mask
+
+        def result(self):
+            return self._mask
+
+    class DummyEngine:
+        def predict_image_async(self, image):
+            return Handle(image[..., 0])
+
+    imgs = sorted(str(p) for p in
+                  (coco_tree / 'val' / 'images').iterdir())[:3]
+    lines = [imgs[0], str(tmp_path / 'missing.jpg'), imgs[1], imgs[2]]
+    monkeypatch.setattr('sys.stdin',
+                        _io.StringIO('\n'.join(lines) + '\n'))
+    out_dir = tmp_path / 'stdin_served'
+    out_dir.mkdir()
+    _stdin_loop(DummyEngine(), 'tiled', str(out_dir), workers=2)
+
+    out_lines = capsys.readouterr().out.strip().splitlines()
+    assert len(out_lines) == 4
+    stem = [os.path.splitext(os.path.basename(p))[0] for p in lines]
+    assert out_lines[0].endswith(f'{stem[0]}.png')
+    assert out_lines[1].startswith('ERROR')
+    assert out_lines[2].endswith(f'{stem[2]}.png')
+    assert out_lines[3].endswith(f'{stem[3]}.png')
+    # the masks were written with the save_mask encoding
+    for k in (0, 2, 3):
+        assert os.path.exists(out_dir / f'{stem[k]}.png')
