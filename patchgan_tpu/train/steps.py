@@ -38,6 +38,39 @@ class TrainState(NamedTuple):
     rng: Any
 
 
+def _is_frozen(path, freeze_patterns):
+    """True iff the '/'-joined tree path starts with a freeze prefix."""
+    name = '/'.join(str(getattr(p, 'key', p)) for p in path)
+    return any(name.startswith(pat) for pat in freeze_patterns)
+
+
+def freeze_stop_gradients(params, freeze_patterns):
+    """``stop_gradient`` every frozen leaf of ``params``.
+
+    Makes the frozen backward's deletion a TRACE-LEVEL guarantee
+    instead of an optimizer-pipeline accident. Measured on this
+    toolchain (tests/test_freeze_step.py): at ``every_k=1`` the
+    optimizer-side ``set_to_zero`` mask ALONE already lets XLA DCE the
+    frozen encoder dgrad/wgrad convs (its ``zeros_like`` updates carry
+    no data dependency on the grads), but under gradient ACCUMULATION
+    (``every_k>1``, optax.MultiSteps) the accumulator stores the raw
+    incoming grads in optimizer state, keeping the frozen backward
+    alive -- 88 vs 68 convolutions in the compiled nf=8 step. Cutting
+    the cotangents at the parameters turns the frozen grads into
+    literal zero constants, so the accumulator update folds and the
+    frozen backward is deleted in EVERY optimizer configuration -- the
+    TPU-native fine-tune speedup (BASELINE.json config 3: freeze
+    encoder, retrain decoder). Numerically exact: the forward is
+    untouched and the frozen grads come back as literal zeros, which is
+    what the optimizer mask maps them to anyway."""
+    if not freeze_patterns:
+        return params
+    return jax.tree_util.tree_map_with_path(
+        lambda path, p: (jax.lax.stop_gradient(p)
+                         if _is_frozen(path, freeze_patterns) else p),
+        params)
+
+
 def make_optimizer(learning_rate=1e-3, b1=0.9, b2=0.999, mu_dtype=None,
                    freeze_patterns=(), every_k=1):
     """Adam with betas (0.9, 0.999) (reference trainer.py:169-172), with
@@ -71,11 +104,10 @@ def make_optimizer(learning_rate=1e-3, b1=0.9, b2=0.999, mu_dtype=None,
         learning_rate=learning_rate, b1=b1, b2=b2, mu_dtype=mu_dtype)
     if freeze_patterns:
         def mask(params):
-            def frozen(path):
-                name = '/'.join(str(getattr(p, 'key', p)) for p in path)
-                return any(name.startswith(pat) for pat in freeze_patterns)
             return jax.tree_util.tree_map_with_path(
-                lambda path, _: 'frozen' if frozen(path) else 'train',
+                lambda path, _: ('frozen'
+                                 if _is_frozen(path, freeze_patterns)
+                                 else 'train'),
                 params)
         tx = optax.multi_transform(
             {'train': tx, 'frozen': optax.set_to_zero()}, mask)
@@ -232,7 +264,7 @@ def make_train_step(generator, discriminator, gen_tx, disc_tx,
                     tversky_beta=0.75, tversky_gamma=0.75,
                     grad_dtype=None, merged_disc=False,
                     bce_weighting='complement', s2d=None,
-                    shadow_dtype=None):
+                    shadow_dtype=None, freeze_patterns=()):
     """Build the fused G+D train step.
 
     ``grad_dtype`` (e.g. bfloat16) casts both gradient trees before the
@@ -261,6 +293,14 @@ def make_train_step(generator, discriminator, gen_tx, disc_tx,
     profile, BENCHMARKS.md) disappear; any residual layout conflict is
     paid once on the half-width bf16 shadow instead. The discriminator
     keeps master-dtype consumption (see make_shadows).
+
+    ``freeze_patterns`` must mirror the generator optimizer's freeze
+    mask (make_optimizer): frozen leaves are stop_gradient'ed inside
+    the generator loss so the frozen backward is DELETED from the
+    compiled program in every optimizer configuration -- required
+    under gradient accumulation, where the MultiSteps accumulator
+    would otherwise keep the frozen grads live (freeze_stop_gradients;
+    BASELINE.json config 3).
     """
     seg_loss = make_seg_loss(loss_type, seg_alpha, tversky_beta,
                              tversky_gamma, bce_weighting)
@@ -287,6 +327,7 @@ def make_train_step(generator, discriminator, gen_tx, disc_tx,
         d_fwd = state.d_params if d_shadow is None else d_shadow
 
         def g_loss_fn(g_params):
+            g_params = freeze_stop_gradients(g_params, freeze_patterns)
             return gan_losses(generator, discriminator, seg_loss, g_params,
                               d_fwd, x, y, True, dropout_rng, s2d)
 

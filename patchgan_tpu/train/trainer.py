@@ -177,7 +177,8 @@ class Trainer:
                     seg_alpha=self.seg_alpha,
                     tversky_beta=self.tversky_beta,
                     tversky_gamma=self.tversky_gamma,
-                    bce_weighting=self.bce_weighting)
+                    bce_weighting=self.bce_weighting,
+                    freeze_patterns=tuple(self.freeze_generator))
                 jitted = jax.jit(fn, donate_argnums=(0,))
                 if self._auto_layout():
                     from .auto_layout import AutoLayoutStep
@@ -191,7 +192,8 @@ class Trainer:
                             tversky_beta=self.tversky_beta,
                             tversky_gamma=self.tversky_gamma,
                             bce_weighting=self.bce_weighting,
-                            shadow_dtype=shadow_dtype)
+                            shadow_dtype=shadow_dtype,
+                            freeze_patterns=tuple(self.freeze_generator))
                     jitted = AutoLayoutStep(fn, jitted,
                                             shadow_fn=shadow_fn,
                                             shadow_dtype=shadow_dtype)
