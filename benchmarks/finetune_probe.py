@@ -23,7 +23,12 @@ The reference cannot freeze anything (no trainable-subset flag in
 /root/reference/patchgan/trainer.py), so config 3's comparison is
 internal: frozen vs full.
 
-Usage: timeout 590 python benchmarks/finetune_probe.py [--steps 60]
+Each AOT compile of the shadow step takes 2-4+ min through the axon
+relay, so ``--arms`` runs a subset per invocation (e.g. ``--arms
+full,frozen``); compile completions are flushed line-by-line.
+
+Usage: timeout 590 python benchmarks/finetune_probe.py \
+           [--steps 60] [--arms full,frozen]
 """
 
 import argparse
@@ -43,7 +48,14 @@ SIZE = 256
 FREEZE = ('enc',)
 
 
-def build(batch):
+ARM_SPECS = {
+    'full': ((), False),
+    'mask_only': (FREEZE, False),
+    'frozen': (FREEZE, True),
+}
+
+
+def build(batch, arms):
     from patchgan_tpu.models import Discriminator, UNet
     from patchgan_tpu.train.steps import (init_train_state, make_optimizer,
                                           make_train_step)
@@ -69,11 +81,7 @@ def build(batch):
     x = rng.uniform(size=(batch, SIZE, SIZE, 3)).astype(np.float32)
     y = (rng.uniform(size=(batch, SIZE, SIZE, 1)) > 0.5) \
         .astype(np.float32)
-    return {
-        'full': mk((), False),
-        'mask_only': mk(FREEZE, False),
-        'frozen': mk(FREEZE, True),
-    }, x, y
+    return {name: mk(*ARM_SPECS[name]) for name in arms}, x, y
 
 
 def main():
@@ -81,14 +89,19 @@ def main():
     ap.add_argument('--batch', type=int, default=16)
     ap.add_argument('--steps', type=int, default=60)
     ap.add_argument('--reps', type=int, default=3)
+    ap.add_argument('--arms', default='full,mask_only,frozen',
+                    help='comma list from {full,mask_only,frozen}')
     args = ap.parse_args()
+    names = [a.strip() for a in args.arms.split(',') if a.strip()]
+    assert all(n in ARM_SPECS for n in names), names
 
     from patchgan_tpu.train.steps import make_shadows
-    specs, x, y = build(args.batch)
+    specs, x, y = build(args.batch, names)
 
     auto = Format(Layout.AUTO)
     arms = {}
     for name, (state, fn) in specs.items():
+        t0 = time.perf_counter()
         g16 = make_shadows(state, jnp.bfloat16)
         compiled = jax.jit(fn, donate_argnums=(0, 1),
                            in_shardings=(auto,) * 4,
@@ -104,6 +117,9 @@ def main():
             flops = flops[0]
         arms[name] = [compiled, [st, gd], xa, ya,
                       float(flops.get('flops', 0.0))]
+        print(json.dumps({'compiled': name,
+                          'secs': round(time.perf_counter() - t0, 1)}),
+              flush=True)
 
     def run(entry, steps):
         fn, carry, xx, yy, _ = entry
