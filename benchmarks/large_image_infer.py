@@ -53,6 +53,9 @@ def main():
     ap.add_argument('--height', type=int, default=960)
     ap.add_argument('--nf', type=int, default=64)
     ap.add_argument('--workers', type=int, default=4)
+    ap.add_argument('--batch_size', type=int, default=128,
+                    help='engine bucket cap (128 = #23 cost-model '
+                         'default; 16 = pre-#23 behavior for A/B)')
     args = ap.parse_args()
 
     # engine reads the gate at construction; set before building it
@@ -73,7 +76,7 @@ def main():
     params = gen.init(jax.random.PRNGKey(0),
                       jnp.zeros((1, 128, 128, 3)))['params']
     engine = InferenceEngine(gen, params, size=256, overlap=0.9,
-                             threshold=0.5)
+                             threshold=0.5, batch_size=args.batch_size)
 
     with tempfile.TemporaryDirectory() as tmp:
         paths = make_jpegs(tmp, args.images, args.width, args.height)

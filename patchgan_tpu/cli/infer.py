@@ -112,6 +112,8 @@ def patchgan_infer(argv=None):
     from ..parallel.mesh import default_mesh
     engine = InferenceEngine(generator, g_params, size=size,
                              overlap=overlap, threshold=threshold,
+                             batch_size=infer_params.get('batch_size',
+                                                         128),
                              mesh=default_mesh())
 
     def fetch(i):

@@ -79,6 +79,7 @@ def _build_engine(config, dtype):
         generator, g_params, size=size,
         overlap=infer_params.get('overlap', 0.9),
         threshold=infer_params.get('threshold', 0),
+        batch_size=infer_params.get('batch_size', 128),
         mesh=default_mesh())
     mode = infer_params.get('mode', 'tiled')
     output_path = infer_params.get('output_path', 'predictions/')

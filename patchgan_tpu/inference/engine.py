@@ -43,6 +43,40 @@ def _round_up(n, m):
     return ((n + m - 1) // m) * m
 
 
+# Generator-forward throughput by bucket size RELATIVE to bucket 16,
+# measured on v5e (s2d form, 256px, bf16; BENCHMARKS.md #23,
+# 2026-08-19: 6282/7942/8475/9726/12011 img/s at 8/16/32/64/128 --
+# the MXU fill of the thin boundary convs keeps rising to a knee at
+# 128, then dips at 256). Only the RATIOS are used, to pick the
+# cheapest bucket for a tile count; the rising-to-a-knee shape is a
+# TPU property of this conv stack, not a machine-specific constant.
+_BUCKET_REL_RATE = {8: 0.79, 16: 1.0, 32: 1.07, 64: 1.22, 128: 1.51}
+
+
+def _pick_bucket(n, cap, align):
+    """Cheapest power-of-two bucket for an ``n``-tile batch.
+
+    Cost = padded tile count / relative throughput at that bucket, so
+    a 30-tile image picks 32 (one fuller chunk beats two of 16) while
+    130 tiles pick 16 (9 snug chunks beat two 128s that waste 45% of
+    their slots). Power-of-two buckets keep the compiled-signature set
+    bounded for heterogeneous tile counts (the engine compiles one
+    program per (canvas, chunks, bucket) signature -- minutes each
+    through a remote-TPU relay). ``cap`` (engine batch_size) and
+    ``align`` (mesh-sharding multiple) restrict the candidates; if
+    they exclude the whole table, fall back to the pre-#23 rule."""
+    best = None
+    for bs, rate in _BUCKET_REL_RATE.items():
+        if bs > cap or bs % align:
+            continue
+        cost = _round_up(n, bs) / rate
+        if best is None or cost < best[0] - 1e-9:
+            best = (cost, bs)
+    if best is None:
+        return min(cap, _round_up(n, align))
+    return best[1]
+
+
 def _pad_min_size(image, size):
     """Edge-pad an (H, W, C) image up to at least (size, size).
 
@@ -93,7 +127,7 @@ class _ReadyMask:
 
 class InferenceEngine:
     def __init__(self, generator, g_params, size=256, overlap=0.9,
-                 threshold=0, batch_size=16, mesh=None, dtype=None):
+                 threshold=0, batch_size=128, mesh=None, dtype=None):
         self.generator = generator
         self.size = size
         self.overlap = overlap
@@ -203,8 +237,7 @@ class InferenceEngine:
         from ..ops.tapdot import set_tapdot_regime
         set_tapdot_regime('infer')   # lazy first trace of _forward
         n = crops.shape[0]
-        bs = min(self.batch_size,
-                 _round_up(n, max(8, self.n_devices)))
+        bs = _pick_bucket(n, self.batch_size, max(8, self.n_devices))
         padded = _round_up(n, bs)
         if padded != n:
             pad = np.zeros((padded - n,) + crops.shape[1:], crops.dtype)
@@ -325,7 +358,7 @@ class InferenceEngine:
         pos = np.asarray(crop_positions(hp, wp, self.size, self.overlap),
                          dtype=np.int32)
         n = pos.shape[0]
-        bs = min(self.batch_size, _round_up(n, 8))
+        bs = _pick_bucket(n, self.batch_size, 8)
         n_pad = _round_up(n, bs)
         # QUANTIZE the compiled-program signature so heterogeneous
         # image sizes share executables: the canvas rounds up to a

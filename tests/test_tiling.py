@@ -103,6 +103,51 @@ def test_inference_engine_batched_tiles():
     np.testing.assert_allclose(out, img[..., 0] * 2.0, atol=1e-5)
 
 
+def test_pick_bucket_cost_model():
+    """The bucket chooser minimizes padded-tiles / measured relative
+    rate over power-of-two buckets (BENCHMARKS.md #23), respecting the
+    engine cap and the mesh alignment."""
+    from patchgan_tpu.inference.engine import _pick_bucket
+
+    # 30 tiles (the 1280x960 config-4 image): one fuller 32-chunk
+    # beats two 16s
+    assert _pick_bucket(30, 128, 8) == 32
+    # 128+ tiles at the knee: the 128 bucket wins outright
+    assert _pick_bucket(128, 128, 8) == 128
+    assert _pick_bucket(256, 128, 8) == 128
+    # 130 tiles: nine snug 16-chunks beat two 128s at 51% fill
+    assert _pick_bucket(130, 128, 8) == 16
+    # tiny batches stay small
+    assert _pick_bucket(3, 128, 8) == 8
+    # the cap restricts candidates (old default behavior)
+    assert _pick_bucket(64, 16, 8) == 16
+    # cap below the table falls back to the legacy clamp exactly
+    assert _pick_bucket(10, 4, 8) == 4
+    # mesh alignment excludes non-multiples
+    assert _pick_bucket(3, 128, 16) == 16
+    # every choice is a valid bucket: <= cap (when cap >= align)
+    for n in range(1, 300, 7):
+        bs = _pick_bucket(n, 128, 8)
+        assert bs <= 128 and bs % 8 == 0
+
+
+def test_engine_buckets_do_not_change_results():
+    """Results are bucket-independent: the default (cost-model) engine
+    must equal an explicitly tiny-bucketed one on a many-tile image."""
+    class DoubleHead:
+        def apply(self, variables, x, train=False):
+            return x[..., :1] * 2.0
+
+    img = np.random.default_rng(11).uniform(size=(300, 520, 3)) \
+        .astype(np.float32)
+    tiny = InferenceEngine(DoubleHead(), {}, size=128, overlap=0.9,
+                           batch_size=4)
+    default = InferenceEngine(DoubleHead(), {}, size=128, overlap=0.9)
+    assert default.batch_size == 128
+    np.testing.assert_allclose(default.predict_image(img),
+                               tiny.predict_image(img), atol=1e-6)
+
+
 def test_inference_engine_mesh_sharded():
     """Tiles of one large image shard across the 8-device mesh and
     stitch back identically to the single-device path."""
