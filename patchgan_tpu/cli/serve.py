@@ -23,7 +23,12 @@ forward. The process serves images either by
 - an HTTP endpoint (``--http HOST:PORT``): ``POST /predict`` with the
   image bytes (jpeg/png) returns the PNG mask (the save_mask
   encoding); ``GET /healthz`` returns 200 once the warmup forward has
-  compiled -- a load balancer can gate traffic on readiness.
+  compiled -- a load balancer can gate traffic on readiness. With
+  ``--batch N`` concurrent requests are micro-batched: a dispatcher
+  thread gathers requests arriving within ``--batch-wait-ms`` of each
+  other and pushes all their tiles through ONE bucketed forward
+  (``_MicroBatcher``), so N concurrent small-image requests cost one
+  snug device program instead of N mostly-padding ones.
 
 Config: the infer-CLI schema (flat or nested ``model_params``,
 ``checkpoint_paths.generator``), plus ``infer_params`` (size via
@@ -113,15 +118,21 @@ def _dispatch_one(engine, mode, path, image=None):
     pipelining pattern, cli/infer.py)."""
     if image is None:
         image = _decode(path)
-    if mode == 'tiled':
+    if mode == 'tiled' and hasattr(engine, 'predict_image_async'):
         return engine.predict_image_async(image)
     from ..inference.engine import _ReadyMask
     return _ReadyMask(engine.predict_image(image, mode=mode))
 
 
-def _warmup(engine, mode):
+def _warmup(engine, mode, all_buckets=False):
     """Compile the forward(s) BEFORE the first request so request #1
-    pays milliseconds, not the multi-second jit compile."""
+    pays milliseconds, not the multi-second jit compile.
+
+    ``all_buckets`` (HTTP micro-batching) compiles EVERY candidate tile
+    bucket up front: grouped requests produce varied tile counts, and
+    the bucket cost model (inference/engine.py) would otherwise trigger
+    a minutes-long remote compile on the first request that lands in an
+    unseen bucket."""
     import numpy as np
     t0 = time.perf_counter()
     c = engine.generator.input_nc
@@ -130,12 +141,17 @@ def _warmup(engine, mode):
             np.zeros((engine.size, engine.size, c), np.float32),
             mode='spatial')
     else:
-        # both tile-bucket programs: the small-image bucket (one tile
-        # rounds up to 8) and the full bucket large images use
-        engine.predict_tiles(
-            np.zeros((1, engine.size, engine.size, c), np.float32))
-        engine.predict_tiles(np.zeros(
-            (engine.batch_size, engine.size, engine.size, c), np.float32))
+        if all_buckets:
+            from ..inference.engine import _BUCKET_REL_RATE
+            buckets = sorted(b for b in _BUCKET_REL_RATE
+                             if b <= engine.batch_size)
+        else:
+            # both tile-bucket programs: the small-image bucket (one
+            # tile rounds up) and the full bucket large images use
+            buckets = [1, engine.batch_size]
+        for b in buckets:
+            engine.predict_tiles(
+                np.zeros((b, engine.size, engine.size, c), np.float32))
     print(f"warmup: {mode} forward compiled in "
           f"{time.perf_counter() - t0:.1f} s", flush=True)
 
@@ -358,11 +374,105 @@ def _encode_mask_png(mask):
     return buf.getvalue()
 
 
-def _http_loop(engine, mode, addr, server_ready=None):
+class _MicroBatcher:
+    """Cross-request dynamic batching for the HTTP front-end.
+
+    Request threads call :meth:`predict` and block; ONE dispatcher
+    thread drains the queue, gathers up to ``max_batch`` images that
+    arrive within ``max_wait`` seconds of the first, and pushes all
+    their tiles through one bucketed forward
+    (``engine.predict_images``) -- so eight concurrent one-tile
+    requests cost one snug 8-bucket device program instead of eight
+    mostly-padding ones (the bucket cost model, BENCHMARKS.md #23,
+    rewards the fuller batch ~1.5x on top of the 8x padding saving).
+    While a group computes, new arrivals queue up and form the next
+    group, so the effective batch grows with load and the wait window
+    only costs latency when the service is otherwise idle. A failed
+    group fails only its own requests (each gets the exception); the
+    dispatcher thread never dies."""
+
+    _CLOSE = object()
+
+    def __init__(self, engine, mode, max_batch, max_wait):
+        import queue
+        import threading
+
+        self._engine = engine
+        self._mode = mode
+        self._max_batch = max(1, int(max_batch))
+        self._max_wait = max(0.0, float(max_wait))
+        self._q = queue.Queue()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def predict(self, image):
+        """Blocking: returns the stitched mask (or raises)."""
+        import threading
+
+        item = {'image': image, 'done': threading.Event()}
+        self._q.put(item)
+        item['done'].wait()
+        if 'error' in item:
+            raise item['error']
+        return item['mask']
+
+    def close(self):
+        self._q.put(self._CLOSE)
+        self._thread.join(timeout=10)
+
+    def _run(self):
+        import queue
+        import time as _time
+
+        while True:
+            first = self._q.get()
+            if first is self._CLOSE:
+                return
+            group = [first]
+            deadline = _time.monotonic() + self._max_wait
+            closing = False
+            while len(group) < self._max_batch:
+                left = deadline - _time.monotonic()
+                if left <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=left)
+                except queue.Empty:
+                    break
+                if nxt is self._CLOSE:
+                    closing = True
+                    break
+                group.append(nxt)
+            try:
+                if len(group) > 1 and self._mode != 'spatial' and \
+                        hasattr(self._engine, 'predict_images'):
+                    masks = self._engine.predict_images(
+                        [it['image'] for it in group])
+                    for it, m in zip(group, masks):
+                        it['mask'] = m
+                else:
+                    for it in group:
+                        it['mask'] = self._engine.predict_image(
+                            it['image'], mode=self._mode)
+            except Exception as e:  # fail the group, keep serving
+                for it in group:
+                    it['error'] = e
+            finally:
+                for it in group:
+                    it['done'].set()
+            if closing:
+                return
+
+
+def _http_loop(engine, mode, addr, server_ready=None, batch=0,
+               batch_wait=0.01):
     """Blocking HTTP front-end: POST /predict (image bytes in, PNG mask
-    bytes out), GET /healthz. The device forward is serialized with a
-    lock (one TPU program at a time); decode/encode run per request
-    thread, so request decode overlaps the previous request's forward.
+    bytes out), GET /healthz. Decode/PNG-encode run per request thread.
+    Without batching the device pipeline is serialized with a lock that
+    covers only the DISPATCH (``_dispatch_one``); the mask fetch and
+    PNG encode of request i run outside it, overlapping request i+1's
+    device forward. With ``batch`` > 1 concurrent requests are
+    micro-batched through one bucketed forward (:class:`_MicroBatcher`).
     A bad request (undecodable image) answers 400 and never takes the
     service down."""
     import io
@@ -373,6 +483,8 @@ def _http_loop(engine, mode, addr, server_ready=None):
     from PIL import Image
 
     forward_lock = threading.Lock()
+    batcher = (_MicroBatcher(engine, mode, batch, batch_wait)
+               if batch > 1 and mode != 'spatial' else None)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *_):
@@ -405,8 +517,16 @@ def _http_loop(engine, mode, addr, server_ready=None):
                 return
             try:
                 t0 = time.perf_counter()
-                with forward_lock:
-                    mask = engine.predict_image(image, mode=mode)
+                if batcher is not None:
+                    mask = batcher.predict(image)
+                else:
+                    # lock covers only the dispatch: the fetch (inside
+                    # .result()) and the PNG encode of this request
+                    # overlap the next request's device forward
+                    with forward_lock:
+                        handle = _dispatch_one(engine, mode, None,
+                                               image=image)
+                    mask = handle.result()
                 png = _encode_mask_png(mask)
                 self._reply(200, png, ctype='image/png')
                 print(f"POST /predict {image.shape[1]}x{image.shape[0]}"
@@ -429,6 +549,8 @@ def _http_loop(engine, mode, addr, server_ready=None):
         server.serve_forever()
     finally:
         server.server_close()
+        if batcher is not None:
+            batcher.close()
 
 
 def patchgan_serve(argv=None):
@@ -449,7 +571,14 @@ def patchgan_serve(argv=None):
                         help='Watch mode: process the backlog and exit')
     parser.add_argument('--batch', default=0, type=int,
                         help='Watch mode: group up to N backlog images '
-                             'through one bucketed forward (tiled mode)')
+                             'through one bucketed forward (tiled '
+                             'mode). HTTP mode: micro-batch up to N '
+                             'concurrent requests the same way')
+    parser.add_argument('--batch-wait-ms', default=10.0, type=float,
+                        help='HTTP micro-batching: how long the first '
+                             'request of a group waits for company '
+                             'before dispatching (costs latency only '
+                             'when the service is idle)')
     parser.add_argument('--workers', default=2, type=int,
                         help='Decode look-ahead threads')
     parser.add_argument('--no-warmup', action='store_true',
@@ -471,12 +600,14 @@ def patchgan_serve(argv=None):
     config = load_config(args.config_file)
     engine, mode, output_path = _build_engine(config, dtype)
     if not args.no_warmup:
-        _warmup(engine, mode)
+        _warmup(engine, mode,
+                all_buckets=bool(args.http) and args.batch > 1)
     print(f"Serving with {platform} ({mode} mode) -> {output_path}",
           flush=True)
 
     if args.http:
-        _http_loop(engine, mode, args.http)
+        _http_loop(engine, mode, args.http, batch=args.batch,
+                   batch_wait=args.batch_wait_ms / 1e3)
     elif args.stdin:
         _stdin_loop(engine, mode, output_path, workers=args.workers)
     else:

@@ -401,6 +401,137 @@ def test_serve_http_endpoint():
         th.join(timeout=10)
 
 
+def test_micro_batcher_groups_and_isolates_failures():
+    """_MicroBatcher: concurrent submissions within the wait window go
+    through ONE predict_images call, each caller gets ITS OWN mask, a
+    failing group raises in every member, and the dispatcher survives
+    to serve the next request."""
+    import threading
+
+    from patchgan_tpu.cli.serve import _MicroBatcher
+
+    calls = []
+
+    class Engine:
+        def predict_images(self, images):
+            calls.append(len(images))
+            if any(im.shape[0] == 13 for im in images):
+                raise RuntimeError('poison image')
+            return [im[..., 0] * 2.0 for im in images]
+
+        def predict_image(self, image, mode='tiled'):
+            calls.append(1)
+            if image.shape[0] == 13:
+                raise RuntimeError('poison image')
+            return image[..., 0] * 2.0
+
+    batcher = _MicroBatcher(Engine(), 'tiled', max_batch=8,
+                            max_wait=2.0)
+    try:
+        imgs = [np.full((4, 4, 3), i, np.float32) for i in range(3)]
+        results = [None] * 3
+
+        def post(i):
+            results[i] = batcher.predict(imgs[i])
+
+        threads = [threading.Thread(target=post, args=(i,))
+                   for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        # one grouped call of all three; results map to THEIR images
+        assert calls == [3]
+        for i in range(3):
+            np.testing.assert_allclose(results[i], imgs[i][..., 0] * 2.0)
+
+        # a poisoned group raises in each member...
+        errs = []
+
+        def post_bad():
+            try:
+                batcher.predict(np.zeros((13, 4, 3), np.float32))
+            except RuntimeError as e:
+                errs.append(e)
+
+        t = threading.Thread(target=post_bad)
+        t.start()
+        t.join(timeout=30)
+        assert len(errs) == 1
+        # ...and the dispatcher is still alive afterwards
+        out = batcher.predict(imgs[0])
+        np.testing.assert_allclose(out, imgs[0][..., 0] * 2.0)
+    finally:
+        batcher.close()
+
+
+def test_serve_http_micro_batching():
+    """--http --batch N: concurrent POSTs are micro-batched through
+    predict_images and each response carries its own request's mask."""
+    import io
+    import threading
+    import urllib.request
+
+    from patchgan_tpu.cli.serve import _http_loop
+
+    grouped = []
+
+    class Engine:
+        def predict_images(self, images):
+            grouped.append(len(images))
+            return [im[..., 0] for im in images]
+
+        def predict_image(self, image, mode='tiled'):
+            grouped.append(1)
+            return image[..., 0]
+
+    ready = threading.Event()
+    captured = {}
+
+    def on_ready(server):
+        captured['server'] = server
+        ready.set()
+
+    th = threading.Thread(
+        target=_http_loop,
+        args=(Engine(), 'tiled', '127.0.0.1:0'),
+        kwargs={'server_ready': on_ready, 'batch': 4,
+                'batch_wait': 2.0}, daemon=True)
+    th.start()
+    assert ready.wait(timeout=10)
+    host, port = captured['server'].server_address
+    base = f'http://{host}:{port}'
+    try:
+        rng = np.random.default_rng(3)
+        imgs = [(rng.uniform(size=(24, 30, 3)) * 255).astype(np.uint8)
+                for _ in range(3)]
+        masks = [None] * 3
+
+        def post(i):
+            buf = io.BytesIO()
+            Image.fromarray(imgs[i]).save(buf, 'PNG')
+            resp = urllib.request.urlopen(urllib.request.Request(
+                f'{base}/predict', data=buf.getvalue(), method='POST'),
+                timeout=60)
+            masks[i] = np.asarray(Image.open(io.BytesIO(resp.read())))
+
+        threads = [threading.Thread(target=post, args=(i,))
+                   for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        for i in range(3):
+            np.testing.assert_array_equal(masks[i], imgs[i][..., 0])
+        # every image went through the batcher; under the generous
+        # wait window at least one call actually grouped
+        assert sum(grouped) == 3
+        assert max(grouped) >= 2
+    finally:
+        captured['server'].shutdown()
+        th.join(timeout=10)
+
+
 def test_serve_stdin_loop_pipelined(coco_tree, tmp_path, monkeypatch,
                                     capsys):
     """--stdin: one echoed mask path (or "ERROR <msg>") per input line,
