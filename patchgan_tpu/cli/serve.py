@@ -128,11 +128,16 @@ def _warmup(engine, mode, all_buckets=False):
     """Compile the forward(s) BEFORE the first request so request #1
     pays milliseconds, not the multi-second jit compile.
 
-    ``all_buckets`` (HTTP micro-batching) compiles EVERY candidate tile
-    bucket up front: grouped requests produce varied tile counts, and
-    the bucket cost model (inference/engine.py) would otherwise trigger
-    a minutes-long remote compile on the first request that lands in an
-    unseen bucket."""
+    On the on-device-stitch path (single-device default) requests run
+    through ``predict_image_async``'s quantized per-image-size-class
+    programs; warm the square ``size``-px class (the most common --
+    other size classes compile on first sight, one per quantized
+    canvas). On the host-stitch path (multi-device meshes) requests run
+    through the bucketed tile forward instead; ``all_buckets`` (HTTP
+    micro-batching) then compiles EVERY candidate bucket up front,
+    since grouped requests produce varied tile counts and the bucket
+    cost model would otherwise trigger a minutes-long remote compile on
+    the first request that lands in an unseen bucket."""
     import numpy as np
     t0 = time.perf_counter()
     c = engine.generator.input_nc
@@ -141,17 +146,19 @@ def _warmup(engine, mode, all_buckets=False):
             np.zeros((engine.size, engine.size, c), np.float32),
             mode='spatial')
     else:
-        if all_buckets:
-            from ..inference.engine import _BUCKET_REL_RATE
-            buckets = sorted(b for b in _BUCKET_REL_RATE
-                             if b <= engine.batch_size)
-        else:
-            # both tile-bucket programs: the small-image bucket (one
-            # tile rounds up) and the full bucket large images use
-            buckets = [1, engine.batch_size]
-        for b in buckets:
-            engine.predict_tiles(
-                np.zeros((b, engine.size, engine.size, c), np.float32))
+        engine.predict_image(
+            np.zeros((engine.size, engine.size, c), np.float32))
+        if not getattr(engine, '_device_stitch', False):
+            if all_buckets:
+                from ..inference.engine import _BUCKET_REL_RATE
+                buckets = sorted(b for b in _BUCKET_REL_RATE
+                                 if b <= engine.batch_size)
+            else:
+                # small-image bucket + the full bucket large images use
+                buckets = [1, engine.batch_size]
+            for b in buckets:
+                engine.predict_tiles(np.zeros(
+                    (b, engine.size, engine.size, c), np.float32))
     print(f"warmup: {mode} forward compiled in "
           f"{time.perf_counter() - t0:.1f} s", flush=True)
 
@@ -379,17 +386,20 @@ class _MicroBatcher:
 
     Request threads call :meth:`predict` and block; ONE dispatcher
     thread drains the queue, gathers up to ``max_batch`` images that
-    arrive within ``max_wait`` seconds of the first, and pushes all
-    their tiles through one bucketed forward
-    (``engine.predict_images``) -- so eight concurrent one-tile
-    requests cost one snug 8-bucket device program instead of eight
-    mostly-padding ones (the bucket cost model, BENCHMARKS.md #23,
-    rewards the fuller batch ~1.5x on top of the 8x padding saving).
-    While a group computes, new arrivals queue up and form the next
-    group, so the effective batch grows with load and the wait window
-    only costs latency when the service is otherwise idle. A failed
-    group fails only its own requests (each gets the exception); the
-    dispatcher thread never dies."""
+    arrive within ``max_wait`` seconds of the first, and DISPATCHES the
+    whole group through the engine (``predict_images_async`` when
+    available: on-device-stitch programs back-to-back on a single
+    device; one bucket-filling tile-concat forward on multi-device
+    host-stitch meshes). The per-image handles go back to the request
+    threads, which resolve (mask fetch + PNG encode) CONCURRENTLY while
+    the dispatcher forms the next group -- resolving inside the
+    dispatcher serialized the fetches and measured 2.4x slower through
+    the TPU relay (BENCHMARKS.md #24). While a group computes, new
+    arrivals queue up and form the next group, so the effective batch
+    grows with load and the wait window only costs latency when the
+    service is otherwise idle. A failed group fails only its own
+    requests (each gets the exception); the dispatcher thread never
+    dies."""
 
     _CLOSE = object()
 
@@ -414,6 +424,10 @@ class _MicroBatcher:
         item['done'].wait()
         if 'error' in item:
             raise item['error']
+        if 'handle' in item:
+            # resolve here, in the request thread: fetches of a group
+            # run concurrently instead of serializing the dispatcher
+            return item['handle'].result()
         return item['mask']
 
     def close(self):
@@ -444,7 +458,13 @@ class _MicroBatcher:
                     break
                 group.append(nxt)
             try:
-                if len(group) > 1 and self._mode != 'spatial' and \
+                if self._mode != 'spatial' and \
+                        hasattr(self._engine, 'predict_images_async'):
+                    handles = self._engine.predict_images_async(
+                        [it['image'] for it in group])
+                    for it, h in zip(group, handles):
+                        it['handle'] = h
+                elif len(group) > 1 and self._mode != 'spatial' and \
                         hasattr(self._engine, 'predict_images'):
                     masks = self._engine.predict_images(
                         [it['image'] for it in group])

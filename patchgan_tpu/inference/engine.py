@@ -405,12 +405,23 @@ class InferenceEngine:
         return self.predict_image_async(image).result()
 
     def predict_images(self, images):
-        """Batched tiled inference over SEVERAL images: all images'
-        tiles are concatenated into one crop stream and pushed through
-        the bucketed forward together, then split back and stitched
-        per image. With a backlog of small images this fills the fixed
-        bucket (and the device) instead of padding each image's few
-        tiles separately -- used by patchgan_serve --batch."""
+        """Batched tiled inference over SEVERAL images (the serve
+        --batch / HTTP micro-batching entry point).
+
+        On the on-device-stitch path every image's FULL pipeline is
+        dispatched before any result is fetched: programs pipeline on
+        the device queue and each image costs ONE compact mask fetch.
+        The alternative -- concatenating all images' tiles through one
+        bucketed forward and stitching on host -- was measured 14x
+        SLOWER end-to-end through the TPU relay (BENCHMARKS.md #24):
+        it fetches every tile back as f32 (~1 MB/image at 256px vs
+        64 KB for the stitched uint8 mask), and the fetch bandwidth,
+        not the device forward, is the serving bottleneck. The
+        tile-concat form is kept for the host-stitch path (multi-device
+        meshes), where tiles of many images DO fill mesh-wide buckets
+        the per-image path would pad."""
+        if self._device_stitch:
+            return [h.result() for h in self.predict_images_async(images)]
         padded = [_pad_min_size(np.asarray(im, dtype=np.float32),
                                 self.size) for im in images]
         crops_list = [n_crop(im, self.size, self.overlap)
@@ -424,6 +435,22 @@ class InferenceEngine:
                                   self.overlap)[:h, :w])
             off += cnt
         return out
+
+    def predict_images_async(self, images):
+        """Dispatch SEVERAL images' pipelines; returns one handle per
+        image (``.result()`` -> mask). On the on-device-stitch path all
+        programs are dispatched back-to-back before any fetch, so the
+        CALLERS can resolve (fetch + postprocess) concurrently while
+        later dispatches queue -- the serve micro-batcher hands these
+        handles back to its request threads for exactly that reason
+        (resolving inside one dispatcher thread serialized the fetches
+        and measured 2.4x slower, BENCHMARKS.md #24). On the
+        host-stitch path the grouped tile-concat compute happens here
+        synchronously (that fill is the point of grouping there) and
+        the handles are pre-resolved."""
+        if self._device_stitch:
+            return [self.predict_image_async(im) for im in images]
+        return [_ReadyMask(m) for m in self.predict_images(images)]
 
     def predict_image_spatial(self, image):
         """Whole-image forward, spatially sharded over the mesh."""

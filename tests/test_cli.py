@@ -465,6 +465,56 @@ def test_micro_batcher_groups_and_isolates_failures():
         batcher.close()
 
 
+def test_micro_batcher_prefers_async_handles():
+    """With predict_images_async available the batcher hands each
+    request ITS handle and the request thread resolves it (fetches run
+    concurrently, BENCHMARKS.md #24); a handle whose result() raises
+    fails only its own request."""
+    import threading
+
+    from patchgan_tpu.cli.serve import _MicroBatcher
+
+    class Handle:
+        def __init__(self, fn):
+            self._fn = fn
+
+        def result(self):
+            return self._fn()
+
+    class Engine:
+        def predict_images_async(self, images):
+            def make(im):
+                if im.shape[0] == 13:
+                    return Handle(lambda: (_ for _ in ()).throw(
+                        RuntimeError('bad fetch')))
+                return Handle(lambda: im[..., 0] + 1.0)
+            return [make(im) for im in images]
+
+    batcher = _MicroBatcher(Engine(), 'tiled', max_batch=4,
+                            max_wait=2.0)
+    try:
+        good = np.zeros((4, 4, 3), np.float32)
+        bad = np.zeros((13, 4, 3), np.float32)
+        results, errs = {}, {}
+
+        def post(key, img):
+            try:
+                results[key] = batcher.predict(img)
+            except RuntimeError as e:
+                errs[key] = e
+
+        threads = [threading.Thread(target=post, args=kv)
+                   for kv in [('a', good), ('b', bad), ('c', good)]]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        assert set(results) == {'a', 'c'} and set(errs) == {'b'}
+        np.testing.assert_allclose(results['a'], good[..., 0] + 1.0)
+    finally:
+        batcher.close()
+
+
 def test_serve_http_micro_batching():
     """--http --batch N: concurrent POSTs are micro-batched through
     predict_images and each response carries its own request's mask."""

@@ -187,6 +187,32 @@ def test_predict_images_batches_match_per_image():
                                    atol=1e-6)
 
 
+def test_predict_images_device_and_host_routes_agree(monkeypatch):
+    """predict_images has two internal routes: per-image on-device
+    stitch (single-device default; compact fetches, measured 14x
+    faster through the TPU relay, BENCHMARKS.md #24) and the
+    tile-concat host stitch (multi-device/host path). They must
+    produce identical masks."""
+    class DoubleHead:
+        def apply(self, variables, x, train=False):
+            return x[..., :1] * 2.0
+
+    rng = np.random.default_rng(21)
+    images = [rng.uniform(size=s).astype(np.float32)
+              for s in [(128, 128, 3), (200, 150, 3), (40, 70, 3)]]
+
+    monkeypatch.setenv('PATCHGAN_DEVICE_STITCH', 'on')
+    dev = InferenceEngine(DoubleHead(), {}, size=128, overlap=0.9)
+    assert dev._device_stitch
+    monkeypatch.setenv('PATCHGAN_DEVICE_STITCH', 'off')
+    host = InferenceEngine(DoubleHead(), {}, size=128, overlap=0.9)
+    assert not host._device_stitch
+
+    for d, h in zip(dev.predict_images(images),
+                    host.predict_images(images)):
+        np.testing.assert_allclose(d, h, atol=1e-6)
+
+
 def test_spatial_fallback_warns_on_indivisible_mesh():
     """When the padded height does not divide the mesh, the spatial
     path falls back to a single-device forward — loudly (a silent 8x
