@@ -187,6 +187,30 @@ def test_predict_images_batches_match_per_image():
                                    atol=1e-6)
 
 
+def test_predict_images_mesh_sharded_groups():
+    """On a multi-device mesh predict_images keeps the tile-concat
+    grouped forward (the fill-the-mesh-bucket rationale, engine
+    docstring): several images' tiles shard across the 8-device mesh
+    in one stream and every mask matches the single-device engine."""
+    from patchgan_tpu.parallel.mesh import default_mesh
+
+    class DoubleHead:
+        def apply(self, variables, x, train=False):
+            return x[..., :1] * 2.0
+
+    rng = np.random.default_rng(17)
+    images = [rng.uniform(size=s).astype(np.float32)
+              for s in [(128, 128, 3), (200, 150, 3), (300, 400, 3)]]
+    single = InferenceEngine(DoubleHead(), {}, size=128, overlap=0.9,
+                             batch_size=8)
+    sharded = InferenceEngine(DoubleHead(), {}, size=128, overlap=0.9,
+                              batch_size=8, mesh=default_mesh())
+    assert not sharded._device_stitch  # multi-device => host stitch
+    for got, ref in zip(sharded.predict_images(images),
+                        [single.predict_image(im) for im in images]):
+        np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
 def test_predict_images_device_and_host_routes_agree(monkeypatch):
     """predict_images has two internal routes: per-image on-device
     stitch (single-device default; compact fetches, measured 14x
