@@ -252,9 +252,17 @@ def _watch_loop(engine, mode, output_path, watch_dir, poll, once,
                 if not group:
                     return
                 t0 = time.perf_counter()
-                masks = engine.predict_images(group_imgs)
-                dt = (time.perf_counter() - t0) * 1e3 / len(group)
+                # dispatch the whole group before fetching anything;
+                # each save then overlaps the remaining masks' fetches
+                # (and, on the device-stitch path, their compute)
+                if hasattr(engine, 'predict_images_async'):
+                    masks = (h.result()
+                             for h in engine.predict_images_async(
+                                 group_imgs))
+                else:
+                    masks = engine.predict_images(group_imgs)
                 for p, m in zip(group, masks):
+                    dt = (time.perf_counter() - t0) * 1e3 / len(group)
                     print(f"{_save(m, output_path, p)}  "
                           f"({dt:.0f} ms/img, batch {len(group)})",
                           flush=True)
@@ -560,6 +568,20 @@ def _http_loop(engine, mode, addr, server_ready=None, batch=0,
     host, _, port = addr.rpartition(':')
     server = ThreadingHTTPServer((host or '127.0.0.1', int(port)),
                                  Handler)
+    if threading.current_thread() is threading.main_thread():
+        # graceful drain on SIGTERM (the orchestrator/k8s stop signal):
+        # stop accepting, finish in-flight requests, exit 0 -- a hard
+        # kill mid-forward can wedge a remote-TPU tunnel for minutes.
+        # Installed BEFORE the readiness print: anything reacting to
+        # that line (tests, supervisors) may signal immediately.
+        import signal
+
+        def _drain(signum, frame):
+            print('SIGTERM: draining in-flight requests', flush=True)
+            threading.Thread(target=server.shutdown,
+                             daemon=True).start()
+
+        signal.signal(signal.SIGTERM, _drain)
     print(f"HTTP serving on http://{server.server_address[0]}:"
           f"{server.server_address[1]} (POST /predict, GET /healthz)",
           flush=True)

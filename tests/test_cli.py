@@ -401,6 +401,49 @@ def test_serve_http_endpoint():
         th.join(timeout=10)
 
 
+def test_serve_http_sigterm_drains(coco_tree):
+    """patchgan_serve --http exits 0 on SIGTERM after draining
+    in-flight requests (the orchestrator stop signal; a hard kill
+    mid-forward can wedge a remote-TPU tunnel)."""
+    import signal
+    import subprocess
+    import sys
+    import time as _time
+
+    cfg = nested_config(coco_tree)
+    cfg_path = write_config(coco_tree, cfg)
+    patchgan_train(['-c', cfg_path, '-n', '1', '-b', '4',
+                    '--dtype', 'float32'])
+    serve_cfg = {
+        'dataset': {'type': 'COCOStuff', 'size': SIZE, 'labels': [1, 2]},
+        'model_params': cfg['model_params'],
+        'checkpoint_paths': {
+            'generator': os.path.join(cfg['checkpoint_path'],
+                                      'generator_ep_001.npz'),
+        },
+        'infer_params': {'output_path': str(coco_tree / 'served')},
+    }
+    serve_path = write_config(coco_tree, serve_cfg, 'serve_http.yaml')
+    proc = subprocess.Popen(
+        [sys.executable, '-m', 'patchgan_tpu.cli.serve',
+         '-c', serve_path, '--http', '127.0.0.1:0', '--no-warmup',
+         '-d', 'cpu', '--dtype', 'float32'],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    try:
+        deadline = _time.monotonic() + 120
+        for line in proc.stdout:
+            if 'HTTP serving on' in line:
+                break
+            assert _time.monotonic() < deadline, 'server never came up'
+        proc.send_signal(signal.SIGTERM)
+        out = proc.stdout.read()
+        assert proc.wait(timeout=30) == 0
+        assert 'draining in-flight requests' in out
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+
 def test_micro_batcher_groups_and_isolates_failures():
     """_MicroBatcher: concurrent submissions within the wait window go
     through ONE predict_images call, each caller gets ITS OWN mask, a
