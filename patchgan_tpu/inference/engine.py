@@ -211,11 +211,34 @@ class InferenceEngine:
 
             self._fwd_raw = s2d_fwd
             self._forward = jax.jit(s2d_fwd)
-            self._forward_spatial = jax.jit(plain_fwd)
         else:
             self._fwd_raw = plain_fwd
             self._forward = jax.jit(plain_fwd)
-            self._forward_spatial = self._forward
+
+        # spatial whole-image program WITH the threshold/argmax
+        # postprocess fused in: ship the compact (ph, pw) mask (uint8
+        # when binarised/multi-class), never the (ph, pw, C) f32
+        # probability cube -- a 7-class 1280x960 image is 34 MB of f32
+        # probs vs 1.2 MB of uint8 labels, and fetch bandwidth through
+        # the TPU relay bounds serving throughput (BENCHMARKS.md #24).
+        # The spatial mode keeps the PLAIN model form (s2d reshapes H,
+        # which the height-sharded mesh would resplit).
+        threshold = self.threshold
+
+        def spatial_run(params, x):
+            probs = plain_fwd(params, x).astype(jnp.float32)
+            if threshold > 0:
+                probs = jnp.where(probs >= threshold, 1.0, 0.0)
+            c = probs.shape[-1]
+            if c > 1:
+                lab = jnp.argmax(probs, axis=-1)
+                return lab.astype(jnp.uint8) if c <= 256 else lab
+            if threshold > 0:
+                return probs[..., 0].astype(jnp.uint8)
+            return probs[..., 0]
+
+        self._forward_spatial = jax.jit(spatial_run)
+        self._spatial_cast = None  # host dtype restore, set on 1st call
 
         # on-device tiled pipeline (gather + forward + stitch as one
         # program, module docstring): default on for single-device
@@ -453,7 +476,13 @@ class InferenceEngine:
         return [_ReadyMask(m) for m in self.predict_images(images)]
 
     def predict_image_spatial(self, image):
-        """Whole-image forward, spatially sharded over the mesh."""
+        """Whole-image forward, spatially sharded over the mesh.
+
+        Threshold/argmax run ON DEVICE inside the jitted forward and
+        only the compact (h, w) mask comes back (engine __init__,
+        ``spatial_run``); the host merely crops the padding band and
+        restores the reference postprocess dtype (np.argmax yields
+        int64, the binarised canvas float32 -- infer.py:59-68)."""
         import jax.numpy as jnp
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -478,11 +507,23 @@ class InferenceEngine:
                     f"falling back to a SINGLE-device whole-image "
                     f"forward", stacklevel=2)
             x = jnp.asarray(padded)
-        probs = np.asarray(
+        if self._spatial_cast is None:
+            out_c = self._fwd_spatial_shape_probe(x).shape[-1]
+            if out_c > 1 and out_c <= 256:
+                self._spatial_cast = np.int64    # np.argmax host dtype
+            elif out_c == 1 and self.threshold > 0:
+                self._spatial_cast = np.float32  # binarised canvas
+            else:
+                self._spatial_cast = False
+        mask = np.asarray(
             self._forward_spatial(self.g_params, x))[0, :h, :w]
+        if self._spatial_cast is not False:
+            mask = mask.astype(self._spatial_cast)
+        return mask
 
-        if self.threshold > 0:
-            probs = np.where(probs >= self.threshold, 1.0, 0.0)
-        if probs.shape[-1] > 1:
-            return np.argmax(probs, axis=-1)
-        return probs[..., 0]
+    def _fwd_spatial_shape_probe(self, x):
+        """abstract-eval helper: output shape of the plain forward."""
+        params = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+            self.g_params)
+        return jax.eval_shape(self._fwd_raw, params, x)

@@ -285,6 +285,16 @@ def test_spatial_mode_matches_full_forward():
         lambda p, x: gen.apply({'params': p}, x))(params, padded))
     expected = np.argmax(full[0, :200, :300], axis=-1)
     np.testing.assert_array_equal(got, expected)
+    # the postprocess runs ON DEVICE (compact uint8 fetch) but the
+    # host dtype matches the reference np.argmax semantics
+    assert got.dtype == expected.dtype
+
+    # thresholded path: binarise-then-argmax, still on device
+    eng_t = InferenceEngine(gen, params, size=128, threshold=0.4,
+                            mesh=default_mesh())
+    got_t = eng_t.predict_image(img, mode='spatial')
+    binarised = np.where(full[0, :200, :300] >= 0.4, 1.0, 0.0)
+    np.testing.assert_array_equal(got_t, np.argmax(binarised, axis=-1))
 
 
 def test_predict_image_smaller_than_tile():
