@@ -84,8 +84,10 @@ def main():
         os.makedirs(outdir)
 
         def fetch(p):
+            # uint8 through to the device (the CLI's get_image path):
+            # /255 runs inside the jitted program
             return np.asarray(Image.open(p).convert('RGB'),
-                              dtype=np.float32) / 255.0
+                              dtype=np.uint8)
 
         def predict(image):
             if args.mode == 'spatial':

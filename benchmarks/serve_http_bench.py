@@ -120,9 +120,11 @@ def main():
     payload = buf.getvalue()
 
     # warmup compiles OUTSIDE the timed arms -- exactly what
-    # patchgan_serve does before /healthz goes ready
+    # patchgan_serve does before /healthz goes ready (uint8 ingest:
+    # the HTTP handler ships uint8, /255 runs on device)
     from patchgan_tpu.cli.serve import _warmup
     _warmup(engine, 'tiled', all_buckets=args.batch > 1)
+    engine.predict_image(np.asarray(img, np.uint8))
 
     def report(name, batch):
         server, th, base = start_server(

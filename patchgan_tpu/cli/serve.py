@@ -93,13 +93,16 @@ def _build_engine(config, dtype):
 
 
 def _decode(path):
+    # uint8 out: the engine normalises /255 ON DEVICE (1-ulp-exact),
+    # uploads ship 4x fewer bytes through a remote-TPU relay, and the
+    # relay's upload leak (repro_axon_upload_leak.py) shrinks 4x for a
+    # long-running service
     from ..data import native
     if path.lower().endswith(('.jpg', '.jpeg')):
-        return native.decode_jpeg_rgb(path, None)
+        return native.decode_jpeg_rgb_u8(path, None)
     import numpy as np
     from PIL import Image
-    return (np.asarray(Image.open(path).convert('RGB'), np.float32)
-            / 255.0)
+    return np.asarray(Image.open(path).convert('RGB'), np.uint8)
 
 
 def _save(mask, output_path, path):
@@ -143,11 +146,13 @@ def _warmup(engine, mode, all_buckets=False):
     c = engine.generator.input_nc
     if mode == 'spatial':
         engine.predict_image(
-            np.zeros((engine.size, engine.size, c), np.float32),
+            np.zeros((engine.size, engine.size, c), np.uint8),
             mode='spatial')
     else:
+        # uint8 zeros: the serve decode paths ship uint8 (engine
+        # normalises on device), so warm THAT program signature
         engine.predict_image(
-            np.zeros((engine.size, engine.size, c), np.float32))
+            np.zeros((engine.size, engine.size, c), np.uint8))
         if not getattr(engine, '_device_stitch', False):
             if all_buckets:
                 from ..inference.engine import _BUCKET_REL_RATE
@@ -158,7 +163,7 @@ def _warmup(engine, mode, all_buckets=False):
                 buckets = [1, engine.batch_size]
             for b in buckets:
                 engine.predict_tiles(np.zeros(
-                    (b, engine.size, engine.size, c), np.float32))
+                    (b, engine.size, engine.size, c), np.uint8))
     print(f"warmup: {mode} forward compiled in "
           f"{time.perf_counter() - t0:.1f} s", flush=True)
 
@@ -537,9 +542,10 @@ def _http_loop(engine, mode, addr, server_ready=None, batch=0,
                 return
             try:
                 n = int(self.headers.get('Content-Length', 0))
+                # uint8 through to the device: /255 runs on device
                 image = np.asarray(
                     Image.open(io.BytesIO(self.rfile.read(n)))
-                    .convert('RGB'), np.float32) / 255.0
+                    .convert('RGB'), np.uint8)
             except Exception as e:
                 self._reply(400, f'bad image: {e}'.encode())
                 return

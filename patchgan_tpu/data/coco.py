@@ -136,7 +136,10 @@ class COCOStuffDataset:
             os.path.join(output_path, f'{fname}.png'))
 
     def get_image(self, index):
-        """Inference-time image fetch: HWC float32 in [0,1], original
-        resolution (tiling handles arbitrary sizes)."""
+        """Inference-time image fetch: HWC uint8, original resolution
+        (tiling handles arbitrary sizes). The engine normalises /255 on
+        device -- 1-ulp-exact vs a host divide, 4x smaller uploads
+        (and 4x less of the axon relay's upload leak,
+        benchmarks/repro_axon_upload_leak.py)."""
         from . import native
-        return native.decode_jpeg_rgb(self.images[index], None)
+        return native.decode_jpeg_rgb_u8(self.images[index], None)

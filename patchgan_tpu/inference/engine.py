@@ -95,6 +95,16 @@ def _pad_min_size(image, size):
     return image, (h, w)
 
 
+def _as_input(image):
+    """Host-side ingest dtype: uint8 passes through (normalised /255 on
+    device -- 4x smaller uploads, see the engine's ``_ingest``), any
+    other dtype keeps the original float32 contract."""
+    image = np.asarray(image)
+    if image.dtype == np.uint8:
+        return image
+    return image.astype(np.float32, copy=False)
+
+
 class _PendingMask:
     """In-flight device mask: ``.result()`` = the one host fetch.
 
@@ -183,8 +193,24 @@ class InferenceEngine:
         plain_gen = generator.clone(s2d=False) if gen_is_s2d \
             else generator
 
+        def _ingest(x):
+            # uint8 images normalise ON DEVICE: /255 on f32(u8)
+            # matches a host divide to within 1 ulp (XLA may fuse it
+            # as a reciprocal multiply; far below the model's bf16
+            # cast), the upload ships 4x fewer bytes -- and on the
+            # axon relay every host->device
+            # transfer LEAKS its size in client RSS (standing
+            # toolchain bug, benchmarks/repro_axon_upload_leak.py), so
+            # compact ingest is also a 4x leak mitigation for
+            # long-running serving. float32 inputs pass through
+            # untouched (the original contract).
+            if x.dtype == jnp.uint8:
+                return x.astype(jnp.float32) / 255.0
+            return x
+
         def plain_fwd(params, x):
-            return plain_gen.apply({'params': params}, x, train=False)
+            return plain_gen.apply({'params': params}, _ingest(x),
+                                   train=False)
 
         # space-to-depth boundary form for the tiled forward (the same
         # trainer-side rewrite, ops/s2d.py: exact numerics, identical
@@ -206,7 +232,8 @@ class InferenceEngine:
 
             def s2d_fwd(params, x):
                 out = gen_s2d.apply({'params': params},
-                                    space_to_depth(x), train=False)
+                                    space_to_depth(_ingest(x)),
+                                    train=False)
                 return depth_to_space(out)
 
             self._fwd_raw = s2d_fwd
@@ -298,10 +325,17 @@ class InferenceEngine:
                                  jnp.float32)).shape[-1]
 
         def run(params, image, positions, valid):
-            # image (hp, wp, c_in) f32; positions (n_chunks, bs, 2)
-            # int32 tile corners; valid (n_chunks, bs) f32 -- 0 for the
-            # bucket-padding tiles, which then contribute to neither
-            # canvas nor count
+            # image (hp, wp, c_in) f32 or uint8; positions
+            # (n_chunks, bs, 2) int32 tile corners; valid (n_chunks, bs)
+            # f32 -- 0 for the bucket-padding tiles, which then
+            # contribute to neither canvas nor count
+            if image.dtype == jnp.uint8:
+                # normalise ONCE at program entry (gather then slices
+                # f32): converting gathered tiles inside the chunk scan
+                # instead compiled ~6x slower on v5e (425-584 s vs
+                # ~70 s); /255-then-gather equals gather-then-/255
+                # exactly (a gather is a copy)
+                image = image.astype(jnp.float32) / 255.0
             canvas = jnp.zeros((hp, wp, out_c), jnp.float32)
             count = jnp.zeros((hp, wp, 1), jnp.float32)
 
@@ -369,8 +403,7 @@ class InferenceEngine:
         one host fetch (and crops edge-padding for images smaller than
         the tile). Lets callers overlap decode/save of neighbouring
         images with device compute (cli/infer.py)."""
-        image, (h, w) = _pad_min_size(
-            np.asarray(image, dtype=np.float32), self.size)
+        image, (h, w) = _pad_min_size(_as_input(image), self.size)
         if not self._device_stitch:
             crops = n_crop(image, self.size, self.overlap)
             masks = self.predict_tiles(crops)
@@ -445,8 +478,8 @@ class InferenceEngine:
         the per-image path would pad."""
         if self._device_stitch:
             return [h.result() for h in self.predict_images_async(images)]
-        padded = [_pad_min_size(np.asarray(im, dtype=np.float32),
-                                self.size) for im in images]
+        padded = [_pad_min_size(_as_input(im), self.size)
+                  for im in images]
         crops_list = [n_crop(im, self.size, self.overlap)
                       for im, _ in padded]
         counts = [c.shape[0] for c in crops_list]
@@ -486,11 +519,11 @@ class InferenceEngine:
         import jax.numpy as jnp
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        image = np.asarray(image, dtype=np.float32)
+        image = _as_input(image)
         h, w = image.shape[:2]
         # the UNet needs spatial dims divisible by 128; pad and crop back
         ph, pw = _round_up(h, 128), _round_up(w, 128)
-        padded = np.zeros((1, ph, pw, image.shape[2]), np.float32)
+        padded = np.zeros((1, ph, pw, image.shape[2]), image.dtype)
         padded[0, :h, :w] = image
         if self.mesh is not None and self.n_devices > 1 and \
                 ph % self.n_devices == 0:

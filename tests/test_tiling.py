@@ -187,6 +187,40 @@ def test_predict_images_batches_match_per_image():
                                    atol=1e-6)
 
 
+def test_uint8_ingest_matches_host_normalised_float(monkeypatch):
+    """uint8 inputs normalise /255 ON DEVICE and must equal the float32
+    contract (host-divided) to within 1 ulp on every route: device
+    stitch, host stitch, and spatial. (Exact bit-equality is NOT
+    promised: XLA may fuse the /255 into neighbouring elementwise ops
+    as a reciprocal multiply -- measured <=1.2e-7, orders below the
+    model's own bf16 cast. uint8 ingest ships 4x fewer upload bytes
+    and sidesteps 3/4 of the axon relay's upload leak,
+    benchmarks/repro_axon_upload_leak.py.)"""
+    class DoubleHead:
+        def apply(self, variables, x, train=False):
+            return x[..., :1] * 2.0
+
+    rng = np.random.default_rng(23)
+    u8 = rng.integers(0, 256, size=(200, 300, 3), dtype=np.uint8)
+    f32 = u8.astype(np.float32) / 255.0
+    ulp = 5e-7
+
+    for env in ('on', 'off'):
+        monkeypatch.setenv('PATCHGAN_DEVICE_STITCH', env)
+        eng = InferenceEngine(DoubleHead(), {}, size=128, overlap=0.9)
+        np.testing.assert_allclose(eng.predict_image(u8),
+                                   eng.predict_image(f32), atol=ulp)
+        for a, b in zip(eng.predict_images([u8, u8]),
+                        eng.predict_images([f32, f32])):
+            np.testing.assert_allclose(a, b, atol=ulp)
+
+    monkeypatch.delenv('PATCHGAN_DEVICE_STITCH')
+    eng = InferenceEngine(DoubleHead(), {}, size=128, overlap=0.9)
+    np.testing.assert_allclose(
+        eng.predict_image(u8, mode='spatial'),
+        eng.predict_image(f32, mode='spatial'), atol=ulp)
+
+
 def test_predict_images_mesh_sharded_groups():
     """On a multi-device mesh predict_images keeps the tile-concat
     grouped forward (the fill-the-mesh-bucket rationale, engine
