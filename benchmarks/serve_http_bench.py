@@ -133,6 +133,10 @@ def main():
             post(base, payload)  # per-server warm request
             clients = 1 if name == 'sequential' else args.clients
             rps, lat = run_arm(base, payload, args.requests, clients)
+            # let trailing server-thread log lines flush: a do_POST
+            # print racing this JSON once glued the two onto one line,
+            # and line-filters downstream dropped the JSON
+            time.sleep(0.5)
             print(json.dumps({
                 'metric': f'http_{name}',
                 'value': round(rps, 2),
