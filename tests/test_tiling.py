@@ -244,6 +244,14 @@ def test_predict_images_mesh_sharded_groups():
                         [single.predict_image(im) for im in images]):
         np.testing.assert_allclose(got, ref, atol=1e-6)
 
+    # uint8 ingest also shards: /255 runs inside the mesh-sharded
+    # forward, masks match the f32 contract within 1 ulp
+    u8s = [(im * 255).astype(np.uint8) for im in images]
+    for got, ref in zip(sharded.predict_images(u8s),
+                        sharded.predict_images(
+                            [u.astype(np.float32) / 255.0 for u in u8s])):
+        np.testing.assert_allclose(got, ref, atol=5e-7)
+
 
 def test_predict_images_device_and_host_routes_agree(monkeypatch):
     """predict_images has two internal routes: per-image on-device
