@@ -28,25 +28,7 @@ import urllib.request
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
 
-def start_server(engine, batch, batch_wait):
-    from patchgan_tpu.cli.serve import _http_loop
-
-    ready = threading.Event()
-    captured = {}
-
-    def on_ready(server):
-        captured['server'] = server
-        ready.set()
-
-    th = threading.Thread(
-        target=_http_loop, args=(engine, 'tiled', '127.0.0.1:0'),
-        kwargs={'server_ready': on_ready, 'batch': batch,
-                'batch_wait': batch_wait},
-        daemon=True)
-    th.start()
-    assert ready.wait(timeout=30)
-    host, port = captured['server'].server_address
-    return captured['server'], th, f'http://{host}:{port}'
+from _serve_util import boot_http  # noqa: E402
 
 
 def post(base, payload, timeout=120):
@@ -127,8 +109,8 @@ def main():
     engine.predict_image(np.asarray(img, np.uint8))
 
     def report(name, batch):
-        server, th, base = start_server(
-            engine, batch, args.batch_wait_ms / 1e3)
+        server, th, base = boot_http(
+            engine, batch=batch, batch_wait=args.batch_wait_ms / 1e3)
         try:
             post(base, payload)  # per-server warm request
             clients = 1 if name == 'sequential' else args.clients

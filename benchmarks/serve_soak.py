@@ -5,8 +5,8 @@ Boots ``_http_loop`` around a real engine and drives --requests POSTs
 from --clients threads with HETEROGENEOUS image sizes (cycling a size
 list), which exercises the device-stitch program cache's LRU bound,
 the micro-batcher's group isolation, and steady-state memory. Reports
-peak RSS growth after warm, HTTP error count, and req/s; then SIGTERMs
-nothing (in-process server) but shuts down cleanly via shutdown().
+per-round current RSS (leak vs fragmentation: see the comment at the
+round loop), HTTP error count, and req/s; shuts down via shutdown().
 
 Usage:  timeout 1100 python benchmarks/serve_soak.py
         [--requests 300] [--clients 8] [--batch 8]
@@ -20,22 +20,12 @@ import os
 import sys
 import threading
 import time
-import urllib.error
 import urllib.request
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
 
-def rss_mib():
-    """CURRENT resident set (VmRSS), not the monotonic peak: leak
-    detection needs the steady-state level between identical soak
-    rounds -- transient per-request buffers legitimately raise the
-    peak without leaking."""
-    with open('/proc/self/status') as f:
-        for line in f:
-            if line.startswith('VmRSS:'):
-                return int(line.split()[1]) / 1024.0
-    return float('nan')
+from _serve_util import boot_http, vm_rss_mib as rss_mib  # noqa: E402
 
 
 def main():
@@ -54,7 +44,7 @@ def main():
     import numpy as np
     from PIL import Image
 
-    from patchgan_tpu.cli.serve import _http_loop, _warmup
+    from patchgan_tpu.cli.serve import _warmup
     from patchgan_tpu.inference import InferenceEngine
     from patchgan_tpu.models import UNet
 
@@ -76,21 +66,7 @@ def main():
         Image.fromarray(img).save(buf, quality=90, format='JPEG')
         payloads.append(buf.getvalue())
 
-    ready = threading.Event()
-    captured = {}
-
-    def on_ready(server):
-        captured['server'] = server
-        ready.set()
-
-    th = threading.Thread(
-        target=_http_loop, args=(engine, 'tiled', '127.0.0.1:0'),
-        kwargs={'server_ready': on_ready, 'batch': args.batch,
-                'batch_wait': 0.01}, daemon=True)
-    th.start()
-    assert ready.wait(timeout=30)
-    host, port = captured['server'].server_address
-    base = f'http://{host}:{port}'
+    server, th, base = boot_http(engine, batch=args.batch)
 
     # warm every size class outside the soak, then baseline RSS
     for p in payloads:
@@ -147,7 +123,7 @@ def main():
         gc.collect()
         rss_per_round.append(round(rss_mib(), 1))
 
-    captured['server'].shutdown()
+    server.shutdown()
     th.join(timeout=10)
     print(json.dumps({
         'metric': 'serve_soak',

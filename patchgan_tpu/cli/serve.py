@@ -253,27 +253,44 @@ def _watch_loop(engine, mode, output_path, watch_dir, poll, once,
             group, group_imgs = [], []
 
             def flush_group():
+                # one failing image (fetch or PNG save) must fail ONLY
+                # itself: the group is consumed up front (no re-dispatch
+                # of already-saved members on error) and every member
+                # resolves inside its own try. flush_group itself never
+                # raises -- the loop's "one bad file never crashes the
+                # service" contract covers the batched path too.
+                from ..inference.engine import _ReadyMask
                 nonlocal served
                 if not group:
                     return
-                t0 = time.perf_counter()
-                # dispatch the whole group before fetching anything;
-                # each save then overlaps the remaining masks' fetches
-                # (and, on the device-stitch path, their compute)
-                if hasattr(engine, 'predict_images_async'):
-                    masks = (h.result()
-                             for h in engine.predict_images_async(
-                                 group_imgs))
-                else:
-                    masks = engine.predict_images(group_imgs)
-                for p, m in zip(group, masks):
-                    dt = (time.perf_counter() - t0) * 1e3 / len(group)
-                    print(f"{_save(m, output_path, p)}  "
-                          f"({dt:.0f} ms/img, batch {len(group)})",
-                          flush=True)
-                    served += 1
+                paths, imgs = list(group), list(group_imgs)
                 group.clear()
                 group_imgs.clear()
+                t0 = time.perf_counter()
+                try:
+                    # dispatch the whole group before fetching anything;
+                    # saves then overlap the remaining masks' fetches
+                    if hasattr(engine, 'predict_images_async'):
+                        handles = engine.predict_images_async(imgs)
+                    else:
+                        handles = [_ReadyMask(m) for m in
+                                   engine.predict_images(imgs)]
+                except Exception as e:
+                    for p in paths:
+                        fail(p, e)
+                    return
+                results = []
+                for p, h in zip(paths, handles):
+                    try:
+                        results.append((p, _save(h.result(),
+                                                 output_path, p)))
+                        served += 1
+                    except Exception as e:
+                        fail(p, e)
+                dt = (time.perf_counter() - t0) * 1e3 / len(paths)
+                for p, out in results:
+                    print(f"{out}  ({dt:.0f} ms/img, "
+                          f"batch {len(paths)})", flush=True)
 
             for path, image in _decode_ahead(pool, todo):
                 try:
@@ -425,6 +442,7 @@ class _MicroBatcher:
         self._max_batch = max(1, int(max_batch))
         self._max_wait = max(0.0, float(max_wait))
         self._q = queue.Queue()
+        self._closed = False
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
@@ -432,6 +450,8 @@ class _MicroBatcher:
         """Blocking: returns the stitched mask (or raises)."""
         import threading
 
+        if self._closed:
+            raise RuntimeError('batcher is closed')
         item = {'image': image, 'done': threading.Event()}
         self._q.put(item)
         item['done'].wait()
@@ -444,8 +464,27 @@ class _MicroBatcher:
         return item['mask']
 
     def close(self):
+        # the flag turns away NEW predict() calls; items that slipped
+        # past the check before the sentinel are failed by _run's final
+        # drain, so no caller is ever left blocking on a dead thread.
+        # (_http_loop closes the batcher only AFTER server_close() has
+        # joined all in-flight request handlers.)
+        self._closed = True
         self._q.put(self._CLOSE)
         self._thread.join(timeout=10)
+
+    def _drain_and_fail(self):
+        import queue
+
+        while True:
+            try:
+                it = self._q.get_nowait()
+            except queue.Empty:
+                return
+            if it is self._CLOSE:
+                continue
+            it['error'] = RuntimeError('batcher is closed')
+            it['done'].set()
 
     def _run(self):
         import queue
@@ -454,6 +493,7 @@ class _MicroBatcher:
         while True:
             first = self._q.get()
             if first is self._CLOSE:
+                self._drain_and_fail()
                 return
             group = [first]
             deadline = _time.monotonic() + self._max_wait
@@ -494,6 +534,7 @@ class _MicroBatcher:
                 for it in group:
                     it['done'].set()
             if closing:
+                self._drain_and_fail()
                 return
 
 
@@ -574,6 +615,14 @@ def _http_loop(engine, mode, addr, server_ready=None, batch=0,
     host, _, port = addr.rpartition(':')
     server = ThreadingHTTPServer((host or '127.0.0.1', int(port)),
                                  Handler)
+    # NON-daemon handler threads: ThreadingHTTPServer defaults to
+    # daemon_threads=True, under which server_close() does NOT join
+    # in-flight handlers and process exit kills them mid-forward/
+    # mid-fetch -- the exact hazard the SIGTERM drain exists to avoid.
+    # With non-daemon handlers, server_close() below joins every
+    # in-flight request BEFORE the batcher closes and the process
+    # exits, so the drain actually drains.
+    server.daemon_threads = False
     if threading.current_thread() is threading.main_thread():
         # graceful drain on SIGTERM (the orchestrator/k8s stop signal):
         # stop accepting, finish in-flight requests, exit 0 -- a hard

@@ -381,10 +381,12 @@ class InferenceEngine:
                 return avg[..., 0].astype(jnp.uint8)
             return avg[..., 0]
 
-        # host-path dtype to restore after the compact uint8 fetch
-        if out_c > 1 and out_c <= 256:
-            cast = np.int64      # np.argmax default in build_mask
-        elif out_c == 1 and threshold > 0:
+        # host-path dtype to restore after the compact fetch (uint8
+        # when out_c <= 256, else jnp.argmax's int32 -- BOTH cast back
+        # to np.argmax's int64, matching build_mask)
+        if out_c > 1:
+            cast = np.int64
+        elif threshold > 0:
             cast = np.float32    # build_mask's binarised canvas
         else:
             cast = None
@@ -482,6 +484,16 @@ class InferenceEngine:
                   for im in images]
         crops_list = [n_crop(im, self.size, self.overlap)
                       for im, _ in padded]
+        if len({c.dtype for c in crops_list}) > 1:
+            # MIXED uint8/float32 group: np.concatenate would silently
+            # promote the uint8 crops to float32 with raw 0-255 values,
+            # which the jitted _ingest (keyed on dtype) would then pass
+            # to the model UN-divided. Normalise the uint8 members on
+            # host here -- correctness over transfer size in the mixed
+            # case (homogeneous groups keep the compact path).
+            crops_list = [c.astype(np.float32) / 255.0
+                          if c.dtype == np.uint8 else c
+                          for c in crops_list]
         counts = [c.shape[0] for c in crops_list]
         masks = self.predict_tiles(np.concatenate(crops_list, axis=0))
         out, off = [], 0
@@ -542,9 +554,11 @@ class InferenceEngine:
             x = jnp.asarray(padded)
         if self._spatial_cast is None:
             out_c = self._fwd_spatial_shape_probe(x).shape[-1]
-            if out_c > 1 and out_c <= 256:
-                self._spatial_cast = np.int64    # np.argmax host dtype
-            elif out_c == 1 and self.threshold > 0:
+            if out_c > 1:
+                # np.argmax host dtype (the device returns uint8 for
+                # <=256 classes, int32 above -- both restore to int64)
+                self._spatial_cast = np.int64
+            elif self.threshold > 0:
                 self._spatial_cast = np.float32  # binarised canvas
             else:
                 self._spatial_cast = False

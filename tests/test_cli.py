@@ -430,11 +430,22 @@ def test_serve_http_sigterm_drains(coco_tree):
          '-d', 'cpu', '--dtype', 'float32'],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
     try:
-        deadline = _time.monotonic() + 120
-        for line in proc.stdout:
-            if 'HTTP serving on' in line:
-                break
-            assert _time.monotonic() < deadline, 'server never came up'
+        import threading
+
+        # readiness watch in a thread: a bare `for line in stdout`
+        # blocks forever if the server wedges during init (the deadline
+        # would only be checked when a line actually arrives)
+        ready = threading.Event()
+
+        def watch():
+            for line in proc.stdout:
+                if 'HTTP serving on' in line:
+                    ready.set()
+                    return
+
+        watcher = threading.Thread(target=watch, daemon=True)
+        watcher.start()
+        assert ready.wait(timeout=120), 'server never came up'
         proc.send_signal(signal.SIGTERM)
         out = proc.stdout.read()
         assert proc.wait(timeout=30) == 0
@@ -556,6 +567,63 @@ def test_micro_batcher_prefers_async_handles():
         np.testing.assert_allclose(results['a'], good[..., 0] + 1.0)
     finally:
         batcher.close()
+
+
+def test_micro_batcher_close_rejects_and_drains():
+    """After close(): new predict() calls raise immediately (never
+    hang on a dead dispatcher), and items that were already queued
+    behind the close sentinel are failed, not orphaned."""
+    import queue
+    import threading
+
+    from patchgan_tpu.cli.serve import _MicroBatcher
+
+    class StallEngine:
+        def __init__(self):
+            self.go = threading.Event()
+
+        def predict_images_async(self, images):
+            self.go.wait()  # dispatcher stalls inside the group
+
+            class H:
+                def __init__(self, im):
+                    self._im = im
+
+                def result(self):
+                    return self._im[..., 0]
+            return [H(im) for im in images]
+
+    eng = StallEngine()
+    batcher = _MicroBatcher(eng, 'tiled', max_batch=1, max_wait=0.0)
+    img = np.zeros((4, 4, 3), np.float32)
+    results = []
+    t = threading.Thread(
+        target=lambda: results.append(batcher.predict(img)))
+    t.start()
+    # while the dispatcher is stalled inside the first group, queue
+    # the close sentinel AND an item behind it: the final drain must
+    # fail that item, never leave it blocking forever
+    for _ in range(100):
+        if not eng.go.is_set() and batcher._q.empty() \
+                and t.is_alive():
+            break
+        threading.Event().wait(0.01)
+    batcher._closed = True
+    batcher._q.put(batcher._CLOSE)
+    orphan = {'image': img, 'done': threading.Event()}
+    batcher._q.put(orphan)
+    eng.go.set()
+    t.join(timeout=10)
+    batcher._thread.join(timeout=10)
+    np.testing.assert_allclose(results[0], img[..., 0])
+    assert orphan['done'].wait(timeout=10)
+    assert isinstance(orphan.get('error'), RuntimeError)
+    try:
+        batcher.predict(img)
+        raise AssertionError('expected RuntimeError after close')
+    except RuntimeError:
+        pass
+    assert isinstance(batcher._q, queue.Queue)  # still inspectable
 
 
 def test_serve_http_micro_batching():

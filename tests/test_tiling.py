@@ -221,6 +221,57 @@ def test_uint8_ingest_matches_host_normalised_float(monkeypatch):
         eng.predict_image(f32, mode='spatial'), atol=ulp)
 
 
+def test_predict_images_mixed_dtype_group(monkeypatch):
+    """A MIXED uint8/float32 group must normalise each member by its
+    own dtype on BOTH routes (np.concatenate would otherwise promote
+    the uint8 crops to raw 0-255 float32, which the dtype-keyed device
+    ingest would pass to the model un-divided)."""
+    class DoubleHead:
+        def apply(self, variables, x, train=False):
+            return x[..., :1] * 2.0
+
+    rng = np.random.default_rng(29)
+    u8 = rng.integers(0, 256, size=(128, 128, 3), dtype=np.uint8)
+    f32 = rng.uniform(size=(128, 128, 3)).astype(np.float32)
+
+    for env in ('on', 'off'):
+        monkeypatch.setenv('PATCHGAN_DEVICE_STITCH', env)
+        eng = InferenceEngine(DoubleHead(), {}, size=128, overlap=0.9)
+        mixed = eng.predict_images([u8, f32])
+        np.testing.assert_allclose(
+            mixed[0], eng.predict_image(u8), atol=5e-7)
+        np.testing.assert_allclose(
+            mixed[1], eng.predict_image(f32), atol=5e-7)
+
+
+def test_many_class_argmax_dtype_matches_host(monkeypatch):
+    """>256 output classes: the compact uint8 fetch is impossible, the
+    device returns jnp.argmax's int32, and the host restore must still
+    produce np.argmax's int64 on the tiled AND spatial routes."""
+    import jax.numpy as jnp
+
+    class WideHead:
+        def apply(self, variables, x, train=False):
+            # 300 channels driven by the input so argmax varies
+            base = jnp.stack([x[..., 0], 1.0 - x[..., 0]], axis=-1)
+            rest = jnp.tile(x[..., :1] * 0.0, (1,) * (x.ndim - 1)
+                            + (298,))
+            return jnp.concatenate([base, rest], axis=-1)
+
+    img = np.random.default_rng(31).uniform(size=(128, 130, 3)) \
+        .astype(np.float32)
+    monkeypatch.setenv('PATCHGAN_DEVICE_STITCH', 'on')
+    eng = InferenceEngine(WideHead(), {}, size=128, overlap=0.9)
+    tiled = eng.predict_image(img)
+    spatial = eng.predict_image(img, mode='spatial')
+    assert tiled.dtype == np.int64 and spatial.dtype == np.int64
+    monkeypatch.setenv('PATCHGAN_DEVICE_STITCH', 'off')
+    host = InferenceEngine(WideHead(), {}, size=128, overlap=0.9) \
+        .predict_image(img)
+    assert host.dtype == np.int64
+    np.testing.assert_array_equal(tiled, host)
+
+
 def test_predict_images_mesh_sharded_groups():
     """On a multi-device mesh predict_images keeps the tile-concat
     grouped forward (the fill-the-mesh-bucket rationale, engine
