@@ -10,8 +10,8 @@ image in flight so the mask fetch + PNG save of image i-1 also overlap
 image i's device pipeline (engine.predict_image_async),
 a corrupt input is logged and skipped
 (remembered by mtime; one bad file never crashes the service), and
-``--batch N`` groups backlog images' tiles through one bucketed
-forward. The process serves images either by
+``--batch N`` groups images through one device dispatch in all three
+modes. The process serves images either by
 
 - watching a directory (``--watch DIR``): new images are picked up each
   poll, masks written next to ``serve_params.output_path``, already-
@@ -322,11 +322,17 @@ def _watch_loop(engine, mode, output_path, watch_dir, poll, once,
             time.sleep(poll)
 
 
-def _stdin_loop(engine, mode, output_path, workers=2):
+def _stdin_loop(engine, mode, output_path, workers=2, batch=0):
     """One input path per line; the mask path (or "ERROR <msg>") echoed
-    per line. Decode runs ahead of the device: a feeder thread reads
-    stdin into a queue and the decode pool works on queued paths while
-    the current forward runs."""
+    per line, in INPUT ORDER. Decode runs ahead of the device: a feeder
+    thread reads stdin into a queue and the decode pool works on queued
+    paths while the current forward runs. With ``batch`` > 1 up to that
+    many decoded lines dispatch as ONE group
+    (``engine.predict_images_async``) while the previous group's masks
+    fetch+save -- a piped backlog gets watch-mode batching under the
+    line protocol's ordering and per-line fault isolation; interactive
+    single lines are still answered immediately (a group only forms
+    from lines already decoded, never by waiting)."""
     import queue
     import threading
     from concurrent.futures import ThreadPoolExecutor
@@ -345,25 +351,33 @@ def _stdin_loop(engine, mode, output_path, workers=2):
 
     done = False
     pending = deque()
-    prev = None  # in-flight (path, mask handle)
+    group_max = max(1, batch) if mode != 'spatial' else 1
+    prev = None  # dispatched group: ordered ('err', exc) |
+    #              ('ok', (path, handle)) entries
 
     def resolve_prev():
         nonlocal prev
         if prev is None:
             return
-        path, handle = prev
-        prev = None
-        try:
-            print(_save(handle.result(), output_path, path), flush=True)
-        except Exception as e:
-            print(f"ERROR {e}", flush=True)
+        entries, prev = prev, None
+        for kind, payload in entries:
+            if kind == 'err':
+                print(f"ERROR {payload}", flush=True)
+                continue
+            path, handle = payload
+            try:
+                print(_save(handle.result(), output_path, path),
+                      flush=True)
+            except Exception as e:
+                print(f"ERROR {e}", flush=True)
 
     with ThreadPoolExecutor(max_workers=max(1, workers)) as pool:
         while True:
             # top up the decode window; block ONLY when nothing at all
             # is in flight (an interactive single line is answered
             # immediately; a piped backlog decodes ahead of the device)
-            while not done and len(pending) < 2 * max(1, workers):
+            window = max(2 * max(1, workers), group_max)
+            while not done and len(pending) < window:
                 try:
                     p = paths_q.get(block=not pending and prev is None)
                 except queue.Empty:
@@ -373,23 +387,45 @@ def _stdin_loop(engine, mode, output_path, workers=2):
                 elif p:
                     pending.append((p, pool.submit(_decode, p)))
             if not pending:
-                # no further input queued: echo the in-flight result
-                # now rather than hold it until the next line arrives
+                # no further input queued: echo the in-flight results
+                # now rather than hold them until the next line arrives
                 resolve_prev()
                 if done:
                     return
                 continue
-            path, fut = pending.popleft()
+            # consume up to group_max decoded lines, keeping each
+            # line's slot (a decode failure stays an ERROR at ITS
+            # position in the output order)
+            entries = []
+            while pending and len(entries) < group_max:
+                path, fut = pending.popleft()
+                try:
+                    entries.append(('ok', (path, fut.result())))
+                except Exception as e:
+                    entries.append(('err', e))
+            ok = [pay for kind, pay in entries if kind == 'ok']
             try:
-                image = fut.result()
-                handle = _dispatch_one(engine, mode, path, image=image)
-            except Exception as e:
+                if len(ok) > 1 and \
+                        hasattr(engine, 'predict_images_async'):
+                    handles = engine.predict_images_async(
+                        [im for _, im in ok])
+                else:
+                    handles = [_dispatch_one(engine, mode, p, image=im)
+                               for p, im in ok]
+            except Exception as e:  # dispatch failed: fail this group
                 resolve_prev()
-                print(f"ERROR {e}", flush=True)
+                for kind, pay in entries:
+                    print(f"ERROR {pay if kind == 'err' else e}",
+                          flush=True)
                 continue
-            # fetch+save of line i-1 overlaps line i's device forward
+            handle_it = iter(handles)
+            dispatched = [
+                (kind, pay if kind == 'err'
+                 else (pay[0], next(handle_it)))
+                for kind, pay in entries]
+            # fetch+save of group i-1 overlaps group i's device forward
             resolve_prev()
-            prev = (path, handle)
+            prev = dispatched
 
 
 def _encode_mask_png(mask):
@@ -667,10 +703,10 @@ def patchgan_serve(argv=None):
     parser.add_argument('--once', action='store_true',
                         help='Watch mode: process the backlog and exit')
     parser.add_argument('--batch', default=0, type=int,
-                        help='Watch mode: group up to N backlog images '
-                             'through one bucketed forward (tiled '
-                             'mode). HTTP mode: micro-batch up to N '
-                             'concurrent requests the same way')
+                        help='Group up to N images through one device '
+                             'dispatch (tiled mode): watch-mode '
+                             'backlog, stdin piped lines, or '
+                             'concurrent HTTP requests (micro-batch)')
     parser.add_argument('--batch-wait-ms', default=10.0, type=float,
                         help='HTTP micro-batching: how long the first '
                              'request of a group waits for company '
@@ -706,7 +742,8 @@ def patchgan_serve(argv=None):
         _http_loop(engine, mode, args.http, batch=args.batch,
                    batch_wait=args.batch_wait_ms / 1e3)
     elif args.stdin:
-        _stdin_loop(engine, mode, output_path, workers=args.workers)
+        _stdin_loop(engine, mode, output_path, workers=args.workers,
+                    batch=args.batch)
     else:
         return _watch_loop(engine, mode, output_path, args.watch,
                            args.poll, args.once, batch=args.batch,

@@ -455,6 +455,57 @@ def test_serve_http_sigterm_drains(coco_tree):
             proc.kill()
 
 
+def test_serve_stdin_loop_batched(coco_tree, tmp_path, monkeypatch,
+                                  capsys):
+    """--stdin --batch N: decoded lines dispatch as groups through
+    predict_images_async, echoes stay in INPUT ORDER, and a mid-stream
+    bad path is an ERROR at its own position."""
+    import io as _io
+
+    from patchgan_tpu.cli.serve import _stdin_loop
+
+    class Handle:
+        def __init__(self, mask):
+            self._mask = mask
+
+        def result(self):
+            return self._mask
+
+    group_sizes = []
+
+    class DummyEngine:
+        def predict_images_async(self, images):
+            group_sizes.append(len(images))
+            return [Handle(im[..., 0]) for im in images]
+
+        def predict_image_async(self, image):
+            group_sizes.append(1)
+            return Handle(image[..., 0])
+
+    imgs = sorted(str(p) for p in
+                  (coco_tree / 'val' / 'images').iterdir())[:4]
+    lines = [imgs[0], imgs[1], str(tmp_path / 'missing.jpg'),
+             imgs[2], imgs[3]]
+    monkeypatch.setattr('sys.stdin',
+                        _io.StringIO('\n'.join(lines) + '\n'))
+    out_dir = tmp_path / 'stdin_batched'
+    out_dir.mkdir()
+    _stdin_loop(DummyEngine(), 'tiled', str(out_dir), workers=2,
+                batch=3)
+
+    out_lines = capsys.readouterr().out.strip().splitlines()
+    assert len(out_lines) == 5
+    stem = [os.path.splitext(os.path.basename(p))[0] for p in lines]
+    for i in (0, 1, 3, 4):
+        assert out_lines[i].endswith(f'{stem[i]}.png')
+        assert os.path.exists(out_dir / f'{stem[i]}.png')
+    assert out_lines[2].startswith('ERROR')
+    # every line went through the engine; at least one real group
+    # formed from the piped backlog
+    assert sum(group_sizes) == 4
+    assert max(group_sizes) >= 2
+
+
 def test_micro_batcher_groups_and_isolates_failures():
     """_MicroBatcher: concurrent submissions within the wait window go
     through ONE predict_images call, each caller gets ITS OWN mask, a
