@@ -95,6 +95,20 @@ def _pad_min_size(image, size):
     return image, (h, w)
 
 
+def _pack_bits(mask):
+    """(..., H, W) {0,1} mask -> (..., H, W//8) uint8, 8 pixels/byte.
+
+    Big-endian within the byte so the host restore is exactly
+    ``np.unpackbits(arr, axis=-1)``. W must be a multiple of 8 (the
+    engine's canvases are 128-aligned). A pure elementwise
+    multiply-reduce -- XLA fuses it into the thresholding epilogue.
+    """
+    w = mask.shape[-1]
+    m = mask.reshape(mask.shape[:-1] + (w // 8, 8)).astype(jnp.int32)
+    weights = jnp.array([128, 64, 32, 16, 8, 4, 2, 1], jnp.int32)
+    return jnp.sum(m * weights, axis=-1).astype(jnp.uint8)
+
+
 def _as_input(image):
     """Host-side ingest dtype: uint8 passes through (normalised /255 on
     device -- 4x smaller uploads, see the engine's ``_ingest``), any
@@ -114,14 +128,24 @@ class _PendingMask:
     a (960, 1280) mask in 56 ms as uint8 vs 139 ms as float32
     (measured round 4) -- then the host casts back so callers see the
     same float32/int64 arrays as the host-stitch path.
+
+    ``packed`` marks a BINARY mask shipped as bit-packed uint8 rows
+    (8 pixels/byte, big-endian within the byte -- ``_pack_bits``):
+    fetch bandwidth bounds serving throughput on this TPU relay
+    (BENCHMARKS.md #24), so a thresholded {0,1} mask travels 8x
+    smaller and ``np.unpackbits`` restores it here losslessly.
     """
 
-    def __init__(self, dev, h, w, cast=None):
+    def __init__(self, dev, h, w, cast=None, packed=False):
         self._dev, self._h, self._w = dev, h, w
         self._cast = cast
+        self._packed = packed
 
     def result(self):
-        arr = np.asarray(self._dev)[:self._h, :self._w]
+        arr = np.asarray(self._dev)
+        if self._packed:
+            arr = np.unpackbits(arr, axis=1)
+        arr = arr[:self._h, :self._w]
         return arr.astype(self._cast) if self._cast is not None else arr
 
 
@@ -251,6 +275,14 @@ class InferenceEngine:
         # The spatial mode keeps the PLAIN model form (s2d reshapes H,
         # which the height-sharded mesh would resplit).
         threshold = self.threshold
+        # binary {0,1} masks additionally travel BIT-PACKED (8 px/byte,
+        # _pack_bits; restored losslessly with np.unpackbits on fetch)
+        # -- another 8x off the fetch on the transfer-bound relay.
+        # PATCHGAN_PACKED_MASKS=off opts back into plain uint8.
+        self._pack_masks = (
+            os.environ.get('PATCHGAN_PACKED_MASKS', 'on').lower()
+            not in ('off', '0', 'false'))
+        pack_masks = self._pack_masks
 
         def spatial_run(params, x):
             probs = plain_fwd(params, x).astype(jnp.float32)
@@ -261,11 +293,15 @@ class InferenceEngine:
                 lab = jnp.argmax(probs, axis=-1)
                 return lab.astype(jnp.uint8) if c <= 256 else lab
             if threshold > 0:
-                return probs[..., 0].astype(jnp.uint8)
+                mask = probs[..., 0]
+                if pack_masks and mask.shape[-1] % 8 == 0:
+                    return _pack_bits(mask)
+                return mask.astype(jnp.uint8)
             return probs[..., 0]
 
         self._forward_spatial = jax.jit(spatial_run)
         self._spatial_cast = None  # host dtype restore, set on 1st call
+        self._spatial_packed = False
 
         # on-device tiled pipeline (gather + forward + stitch as one
         # program, module docstring): default on for single-device
@@ -323,6 +359,8 @@ class InferenceEngine:
                 self.g_params),
             jax.ShapeDtypeStruct((bs, size, size, c_in),
                                  jnp.float32)).shape[-1]
+        packed = (self._pack_masks and out_c == 1 and threshold > 0
+                  and wp % 8 == 0)
 
         def run(params, image, positions, valid):
             # image (hp, wp, c_in) f32 or uint8; positions
@@ -373,12 +411,16 @@ class InferenceEngine:
                 avg = jnp.where(avg >= threshold, 1.0, 0.0)
             # compact the fetch: thresholded {0,1} and argmax labels are
             # small ints -- ship them over the wire as uint8 (4x fewer
-            # bytes than f32; _PendingMask restores the host-path dtype)
+            # bytes than f32; _PendingMask restores the host-path
+            # dtype), and binary masks further BIT-PACK to 8 px/byte
             if out_c > 1:
                 lab = jnp.argmax(avg, axis=-1)
                 return lab.astype(jnp.uint8) if out_c <= 256 else lab
             if threshold > 0:
-                return avg[..., 0].astype(jnp.uint8)
+                mask = avg[..., 0]
+                if packed:
+                    return _pack_bits(mask)
+                return mask.astype(jnp.uint8)
             return avg[..., 0]
 
         # host-path dtype to restore after the compact fetch (uint8
@@ -390,7 +432,7 @@ class InferenceEngine:
             cast = np.float32    # build_mask's binarised canvas
         else:
             cast = None
-        prog = (jax.jit(run), cast)
+        prog = (jax.jit(run), cast, packed)
         # bounded LRU: quantization (predict_image_async) keeps the
         # working set tiny, but a long-lived server should not pin one
         # resident executable per shape it has ever seen
@@ -440,11 +482,12 @@ class InferenceEngine:
         valid[:n] = 1.0
         pos = np.concatenate(
             [pos, np.zeros((n_pad - n, 2), np.int32)], axis=0)
-        prog, cast = self._tiled_program((hq, wq), c_in, n_chunks_q, bs)
+        prog, cast, packed = self._tiled_program(
+            (hq, wq), c_in, n_chunks_q, bs)
         dev = prog(self.g_params, image,
                    pos.reshape(n_chunks_q, bs, 2),
                    valid.reshape(n_chunks_q, bs))
-        return _PendingMask(dev, h, w, cast)
+        return _PendingMask(dev, h, w, cast, packed)
 
     def predict_image(self, image, mode='tiled'):
         """(H, W, C) image of arbitrary size -> (H, W) mask.
@@ -562,8 +605,15 @@ class InferenceEngine:
                 self._spatial_cast = np.float32  # binarised canvas
             else:
                 self._spatial_cast = False
-        mask = np.asarray(
-            self._forward_spatial(self.g_params, x))[0, :h, :w]
+            # binary masks come back bit-packed (spatial_run mirrors
+            # the tiled program's gate: pack iff the padded width
+            # is 8-aligned, which the 128-px rounding guarantees)
+            self._spatial_packed = (
+                self._pack_masks and out_c == 1 and self.threshold > 0)
+        mask = np.asarray(self._forward_spatial(self.g_params, x))
+        if self._spatial_packed and pw % 8 == 0:
+            mask = np.unpackbits(mask, axis=-1)
+        mask = mask[0, :h, :w]
         if self._spatial_cast is not False:
             mask = mask.astype(self._spatial_cast)
         return mask

@@ -57,23 +57,46 @@ class Discriminator(nn.Module):
     def __call__(self, x, y=None, train=False):
         """x: (N, H, W, Ci) image; y: optional (N, H, W, Cm) mask that is
         logically channel-concatenated with x (fused into the first conv).
-        If y is None, x must already carry input_nc channels."""
+        If y is None, x must already carry input_nc channels.
+
+        y may also be a TUPLE of masks sharing one image (the train
+        step's real/fake pair, reference trainer.py:96-99): the critic
+        then returns one output per mask, and conv0's image-part
+        contribution is a single shared value -- the forward is
+        bit-identical to separate calls (XLA CSEs those anyway), but in
+        the backward the image-part weight gradient contracts the SUM
+        of the pair's cotangents, one wgrad conv instead of two
+        (autodiff cannot merge them across separate applies; measured
+        in BENCHMARKS.md "paired discriminator").
+        """
         del train  # the discriminator has no dropout
         k = KERNEL_SIZE
         x = x.astype(self.dtype)
-        y = y.astype(self.dtype) if y is not None else None
+        paired = isinstance(y, (tuple, list))
+        ys = tuple(y) if paired else (y,)
+        ys = tuple(m.astype(self.dtype) if m is not None else None
+                   for m in ys)
+
+        # flax forbids re-declaring a param name, so the paired path's
+        # repeated ladder shares declarations through this memo
+        cache = {}
+
+        def get_param(name, init, shape):
+            if name not in cache:
+                cache[name] = self.param(name, init, shape)
+            return cache[name]
 
         def conv(h, features, stride, use_bias, name, h2=None, s2d=False):
             in_ch = h.shape[-1] + (h2.shape[-1] if h2 is not None else 0)
             if s2d:
                 in_ch //= 4
-            kernel = self.param(f'{name}_kernel', xavier_uniform,
-                                (k, k, in_ch, features))
+            kernel = get_param(f'{name}_kernel', xavier_uniform,
+                               (k, k, in_ch, features))
             bias = None
             if use_bias:
-                bias = self.param(f'{name}_bias',
-                                  torch_conv_bias_init(in_ch * k * k),
-                                  (features,))
+                bias = get_param(f'{name}_bias',
+                                 torch_conv_bias_init(in_ch * k * k),
+                                 (features,))
                 bias = bias.astype(self.dtype)
             if s2d:
                 from ..ops.s2d import conv2d_s2d
@@ -82,27 +105,62 @@ class Discriminator(nn.Module):
             return conv2d(h, kernel.astype(self.dtype), stride=stride,
                           padding=1, bias=bias, x2=h2)
 
-        h = conv(x, self.ndf, stride=2, use_bias=True, name='conv0', h2=y,
-                 s2d=self.s2d)
-        h = apply_activation(h, 'leakyrelu')
+        if not paired:
+            hs = [conv(x, self.ndf, stride=2, use_bias=True, name='conv0',
+                       h2=ys[0], s2d=self.s2d)]
+        else:
+            # split conv0 exactly as conv2d/conv2d_s2d do internally
+            # (conv is linear in input channels), but hoist the
+            # image-part conv so the pair SHARES it as one value
+            cm = ys[0].shape[-1]
+            assert all(m.shape == ys[0].shape for m in ys), \
+                "paired masks must share one shape"
+            in_ch = x.shape[-1] + cm
+            if self.s2d:
+                in_ch //= 4
+            kernel = get_param('conv0_kernel', xavier_uniform,
+                               (k, k, in_ch, self.ndf))
+            bias = get_param('conv0_bias',
+                             torch_conv_bias_init(in_ch * k * k),
+                             (self.ndf,)).astype(self.dtype)
+            kd = kernel.astype(self.dtype)
+            c1 = x.shape[-1] // (4 if self.s2d else 1)
+            if self.s2d:
+                from ..ops.s2d import conv2d_s2d
+                feat = conv2d_s2d(x, kd[:, :, :c1, :])
+                hs = [feat + conv2d_s2d(m, kd[:, :, c1:, :]) + bias
+                      for m in ys]
+            else:
+                feat = conv2d(x, kd[:, :, :c1, :], stride=2, padding=1)
+                hs = [feat + conv2d(m, kd[:, :, c1:, :], stride=2,
+                                    padding=1) + bias
+                      for m in ys]
 
-        nf_mult = 1
-        for n in range(1, self.n_layers):
-            nf_mult = min(2 ** n, 8)
-            h = conv(h, self.ndf * nf_mult, stride=2, use_bias=False,
-                     name=f'conv{n}')
+        def tail(h):
+            h = apply_activation(h, 'leakyrelu')
+            nf_mult = 1
+            for n in range(1, self.n_layers):
+                nf_mult = min(2 ** n, 8)
+                h = conv(h, self.ndf * nf_mult, stride=2, use_bias=False,
+                         name=f'conv{n}')
+                h = apply_activation(h, 'tanh')
+                if self.norm:
+                    h = instance_norm(h, eps=NORM_EPS,
+                                      use_pallas=self.use_pallas)
+
+            nf_mult = min(2 ** self.n_layers, 8)
+            h = conv(h, self.ndf * nf_mult, stride=1, use_bias=False,
+                     name=f'conv{self.n_layers}')
             h = apply_activation(h, 'tanh')
             if self.norm:
-                h = instance_norm(h, eps=NORM_EPS, use_pallas=self.use_pallas)
+                h = instance_norm(h, eps=NORM_EPS,
+                                  use_pallas=self.use_pallas)
 
-        nf_mult = min(2 ** self.n_layers, 8)
-        h = conv(h, self.ndf * nf_mult, stride=1, use_bias=False,
-                 name=f'conv{self.n_layers}')
-        h = apply_activation(h, 'tanh')
-        if self.norm:
-            h = instance_norm(h, eps=NORM_EPS, use_pallas=self.use_pallas)
+            h = conv(h, 1, stride=1, use_bias=True, name='conv_out')
+            # fp32 sigmoid head: bf16 saturates to exact 0/1 at
+            # |logit| ~ 9, which would zero the BCE gradients (see
+            # models/blocks.py)
+            return apply_activation(h.astype(jnp.float32), 'sigmoid')
 
-        h = conv(h, 1, stride=1, use_bias=True, name='conv_out')
-        # fp32 sigmoid head: bf16 saturates to exact 0/1 at |logit| ~ 9,
-        # which would zero the BCE gradients (see models/blocks.py)
-        return apply_activation(h.astype(jnp.float32), 'sigmoid')
+        outs = tuple(tail(h) for h in hs)
+        return outs if paired else outs[0]

@@ -223,7 +223,7 @@ def gan_losses(generator, discriminator, seg_loss, g_params, d_params,
 
 
 def disc_real_fake(discriminator, d_params, x, y, gen_img,
-                   merged=True):
+                   merged=True, paired=False):
     """Discriminator outputs on the real and fake pairs.
 
     ``merged=True`` runs ONE forward on the two pairs stacked along the
@@ -235,7 +235,18 @@ def disc_real_fake(discriminator, d_params, x, y, gen_img,
     batch-16 headline step -- the input concat costs slightly more than
     the halved op count saves, so the default stays False; the merged
     form is kept for the (cheaper) eval step and small-batch regimes.
+
+    ``paired=True`` (real Discriminator modules only) runs the module's
+    tuple-of-masks form: conv0's image-part value is SHARED between the
+    real and fake branches, so its weight gradient is ONE contraction
+    of the summed cotangents instead of two (models/disc.py). Forward
+    bit-identical to the separate calls; see BENCHMARKS.md "paired
+    discriminator" for the measured step effect.
     """
+    if paired:
+        return discriminator.apply(
+            {'params': d_params}, x,
+            (y.astype(gen_img.dtype), gen_img))
     if merged:
         both = discriminator.apply(
             {'params': d_params},
@@ -264,7 +275,8 @@ def make_train_step(generator, discriminator, gen_tx, disc_tx,
                     tversky_beta=0.75, tversky_gamma=0.75,
                     grad_dtype=None, merged_disc=False,
                     bce_weighting='complement', s2d=None,
-                    shadow_dtype=None, freeze_patterns=()):
+                    shadow_dtype=None, freeze_patterns=(),
+                    paired_disc=None):
     """Build the fused G+D train step.
 
     ``grad_dtype`` (e.g. bfloat16) casts both gradient trees before the
@@ -306,6 +318,20 @@ def make_train_step(generator, discriminator, gen_tx, disc_tx,
                              tversky_gamma, bce_weighting)
     if s2d is None:
         s2d = getattr(generator, 's2d', False)
+    def _paired_disc():
+        if paired_disc is not None:
+            return paired_disc
+        # the shared-conv0 pair form needs the real module (duck-typed
+        # test heads lack the tuple signature). Env gate read at TRACE
+        # time so A/B harnesses can override per compile; default ON
+        # since the measured verdict (BENCHMARKS.md "paired
+        # discriminator": +0.6%/+1.0% in two shipping-regime A/Bs,
+        # forward bit-exact) -- PATCHGAN_PAIRED_DISC=off opts out.
+        import os
+        return (hasattr(discriminator, 's2d')
+                and os.environ.get('PATCHGAN_PAIRED_DISC',
+                                   'on').lower()
+                not in ('off', '0', 'false'))
 
     def cast_grads(grads):
         if grad_dtype is None:
@@ -343,7 +369,8 @@ def make_train_step(generator, discriminator, gen_tx, disc_tx,
 
         def d_loss_fn(d_params):
             disc_real, disc_fake = disc_real_fake(
-                discriminator, d_params, x, y, gen_img, merged=merged_disc)
+                discriminator, d_params, x, y, gen_img,
+                merged=merged_disc, paired=_paired_disc())
             loss_real = bce_loss(disc_real, jnp.ones_like(disc_real))
             loss_fake = bce_loss(disc_fake, jnp.zeros_like(disc_fake))
             return (loss_fake + loss_real) / 2.0, (loss_real, loss_fake)

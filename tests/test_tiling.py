@@ -476,6 +476,70 @@ def test_device_stitch_single_channel_probabilities(monkeypatch):
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+@pytest.mark.parametrize('shape', [
+    (256, 256, 3),     # square
+    (200, 300, 3),     # non-square (crop band exercises the unpack)
+    (100, 90, 3),      # smaller than the tile (edge padding)
+])
+def test_packed_binary_masks_match_unpacked(monkeypatch, shape):
+    """Binary (C=1, threshold>0) masks travel BIT-PACKED by default
+    (PATCHGAN_PACKED_MASKS, 8 px/byte -- fetch bandwidth bounds serving
+    on the TPU relay, BENCHMARKS.md #24): the unpacked result must be
+    identical to the plain uint8 fetch and to the host-stitch path,
+    with the same float32 host dtype (build_mask's binarised canvas).
+    The pack happens AFTER thresholding inside the same compiled
+    program, so equality is exact."""
+    class Head:
+        def apply(self, variables, x, train=False):
+            return x[..., :1] * 0.5 + 0.25   # probs straddle 0.5
+
+    img = np.random.default_rng(17).uniform(size=shape) \
+        .astype(np.float32)
+
+    monkeypatch.setenv('PATCHGAN_DEVICE_STITCH', 'on')
+    monkeypatch.setenv('PATCHGAN_PACKED_MASKS', 'on')
+    got = InferenceEngine(Head(), {}, size=128, overlap=0.9,
+                          threshold=0.5, batch_size=4) \
+        .predict_image(img)
+    monkeypatch.setenv('PATCHGAN_PACKED_MASKS', 'off')
+    plain = InferenceEngine(Head(), {}, size=128, overlap=0.9,
+                            threshold=0.5, batch_size=4) \
+        .predict_image(img)
+    monkeypatch.setenv('PATCHGAN_DEVICE_STITCH', 'off')
+    host = InferenceEngine(Head(), {}, size=128, overlap=0.9,
+                           threshold=0.5, batch_size=4) \
+        .predict_image(img)
+
+    # the device routes restore float32 (compact-fetch contract); the
+    # host numpy stitch keeps its historical float64 canvas
+    assert got.dtype == plain.dtype == np.float32
+    assert set(np.unique(got)) <= {0.0, 1.0}
+    np.testing.assert_array_equal(got, plain)
+    np.testing.assert_array_equal(got, host.astype(np.float32))
+
+
+def test_packed_binary_masks_spatial_mode(monkeypatch):
+    """The spatial whole-image route packs binary masks the same way;
+    packed and plain fetches agree exactly after the host unpack."""
+    class Head:
+        def apply(self, variables, x, train=False):
+            return x[..., :1] * 0.5 + 0.25
+
+    img = np.random.default_rng(19).uniform(size=(200, 260, 3)) \
+        .astype(np.float32)
+    monkeypatch.setenv('PATCHGAN_PACKED_MASKS', 'on')
+    got = InferenceEngine(Head(), {}, size=128, overlap=0.9,
+                          threshold=0.5) \
+        .predict_image(img, mode='spatial')
+    monkeypatch.setenv('PATCHGAN_PACKED_MASKS', 'off')
+    plain = InferenceEngine(Head(), {}, size=128, overlap=0.9,
+                            threshold=0.5) \
+        .predict_image(img, mode='spatial')
+    assert got.dtype == plain.dtype == np.float32
+    assert got.shape == plain.shape == img.shape[:2]
+    np.testing.assert_array_equal(got, plain)
+
+
 def test_device_stitch_real_unet(monkeypatch):
     """End-to-end with a real (tiny) UNet: the one-dispatch device
     program matches the host-stitched reference path."""
