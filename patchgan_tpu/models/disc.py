@@ -109,13 +109,12 @@ class Discriminator(nn.Module):
             hs = [conv(x, self.ndf, stride=2, use_bias=True, name='conv0',
                        h2=ys[0], s2d=self.s2d)]
         else:
-            # split conv0 exactly as conv2d/conv2d_s2d do internally
-            # (conv is linear in input channels), but hoist the
-            # image-part conv so the pair SHARES it as one value
-            cm = ys[0].shape[-1]
+            # the ops-level x2s form: conv0's image-part conv is a
+            # single shared value, the channel-split-by-linearity
+            # convention stays inside ops/conv.py / ops/s2d.py
             assert all(m.shape == ys[0].shape for m in ys), \
                 "paired masks must share one shape"
-            in_ch = x.shape[-1] + cm
+            in_ch = x.shape[-1] + ys[0].shape[-1]
             if self.s2d:
                 in_ch //= 4
             kernel = get_param('conv0_kernel', xavier_uniform,
@@ -124,17 +123,12 @@ class Discriminator(nn.Module):
                              torch_conv_bias_init(in_ch * k * k),
                              (self.ndf,)).astype(self.dtype)
             kd = kernel.astype(self.dtype)
-            c1 = x.shape[-1] // (4 if self.s2d else 1)
             if self.s2d:
                 from ..ops.s2d import conv2d_s2d
-                feat = conv2d_s2d(x, kd[:, :, :c1, :])
-                hs = [feat + conv2d_s2d(m, kd[:, :, c1:, :]) + bias
-                      for m in ys]
+                hs = list(conv2d_s2d(x, kd, bias=bias, x2s=ys))
             else:
-                feat = conv2d(x, kd[:, :, :c1, :], stride=2, padding=1)
-                hs = [feat + conv2d(m, kd[:, :, c1:, :], stride=2,
-                                    padding=1) + bias
-                      for m in ys]
+                hs = list(conv2d(x, kd, stride=2, padding=1, bias=bias,
+                                 x2s=ys))
 
         def tail(h):
             h = apply_activation(h, 'leakyrelu')

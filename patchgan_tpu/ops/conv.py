@@ -52,11 +52,16 @@ _DIMS = ('NHWC', 'HWIO', 'NHWC')
 
 
 def conv2d(x, w, stride=2, padding=1, bias=None, x2=None,
-           dot_wgrad=None):
+           x2s=None, dot_wgrad=None):
     """2-D convolution, NHWC input, HWIO kernel.
 
     Matches torch Conv2d(kernel, stride, padding) geometry. If ``x2`` is
     given, behaves as conv(concat([x, x2], axis=-1), w).
+    ``x2s`` (a tuple of second inputs sharing one shape) returns a TUPLE
+    of outputs that share the x-part conv as a single hoisted value:
+    each element equals ``conv2d(x, w, x2=m)`` bit-exactly, but the
+    backward contracts the x-part weight gradient ONCE over the summed
+    cotangents (the paired-discriminator form, models/disc.py).
     ``dot_wgrad`` (default: PATCHGAN_DOT_WGRAD env) swaps in the
     transpose-free tap-dot weight gradient (ops/wgrad.py).
     """
@@ -73,6 +78,14 @@ def conv2d(x, w, stride=2, padding=1, bias=None, x2=None,
             inp, ker.astype(inp.dtype), window_strides=strides,
             padding=pad, dimension_numbers=_DIMS)
 
+    if x2s is not None:
+        c1 = x.shape[-1]
+        shared = one(x, w[:, :, :c1, :])
+        outs = tuple(shared + one(m.astype(x.dtype), w[:, :, c1:, :])
+                     for m in x2s)
+        if bias is not None:
+            outs = tuple(o + bias.astype(o.dtype) for o in outs)
+        return outs
     if x2 is None:
         out = one(x, w)
     else:

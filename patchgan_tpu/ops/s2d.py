@@ -137,14 +137,24 @@ def _conv3(x, k):
         padding=[(1, 1), (1, 1)], dimension_numbers=_DIMS)
 
 
-def conv2d_s2d(x, w, bias=None, x2=None):
+def conv2d_s2d(x, w, bias=None, x2=None, x2s=None):
     """conv2d(orig, w, stride=2, padding=1) on an s2d input.
 
     ``x`` (and optional ``x2``) are s2d tensors [N, H, W, 4C]; ``w`` is
     the ORIGINAL [4, 4, Cin(+Cin2), Cout] kernel. Exactly equal to
     ``conv2d(depth_to_space(x), w, x2=depth_to_space(x2))``.
+    ``x2s`` mirrors conv2d's tuple form: one output per mask, the
+    x-part conv shared as a single hoisted value (the paired-
+    discriminator backward, models/disc.py).
     """
     c1 = x.shape[-1] // 4
+    if x2s is not None:
+        shared = _conv3(x, down_kernel_s2d(w[:, :, :c1, :]))
+        wm = down_kernel_s2d(w[:, :, c1:, :])
+        outs = tuple(shared + _conv3(m.astype(x.dtype), wm) for m in x2s)
+        if bias is not None:
+            outs = tuple(o + bias.astype(o.dtype) for o in outs)
+        return outs
     if x2 is None:
         out = _conv3(x, down_kernel_s2d(w))
     else:

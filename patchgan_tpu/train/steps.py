@@ -258,6 +258,32 @@ def disc_real_fake(discriminator, d_params, x, y, gen_img,
     return disc_real, disc_fake
 
 
+def resolve_paired_disc(paired_disc, merged_disc, discriminator):
+    """Resolve whether the train step uses the paired-discriminator
+    form (models/disc.py tuple-of-masks apply; shared conv0 image-part
+    wgrad).
+
+    Precedence: an explicit ``paired_disc`` wins; an EXPLICIT
+    ``merged_disc=True`` keeps the merged (batch-stacked) form --
+    disc_real_fake resolves paired before merged, so defaulting paired
+    on would make merged_disc a silent no-op (it is an A/B arm in
+    benchmarks/variants.py). Otherwise paired defaults ON for real
+    Discriminator modules (duck-typed test heads lack the tuple
+    signature) since the measured verdict (BENCHMARKS.md "paired
+    discriminator": +0.6%/+1.0% in two shipping-regime A/Bs, forward
+    bit-exact). The PATCHGAN_PAIRED_DISC env gate is read at TRACE
+    time so A/B harnesses can override per compile; =off opts out.
+    """
+    if paired_disc is not None:
+        return paired_disc
+    if merged_disc:
+        return False
+    import os
+    return (hasattr(discriminator, 's2d')
+            and os.environ.get('PATCHGAN_PAIRED_DISC', 'on').lower()
+            not in ('off', '0', 'false'))
+
+
 def make_shadows(state, dtype):
     """Compute-dtype shadow of the GENERATOR param tree (see
     make_train_step's ``shadow_dtype``). Exactly the casts the model
@@ -319,19 +345,8 @@ def make_train_step(generator, discriminator, gen_tx, disc_tx,
     if s2d is None:
         s2d = getattr(generator, 's2d', False)
     def _paired_disc():
-        if paired_disc is not None:
-            return paired_disc
-        # the shared-conv0 pair form needs the real module (duck-typed
-        # test heads lack the tuple signature). Env gate read at TRACE
-        # time so A/B harnesses can override per compile; default ON
-        # since the measured verdict (BENCHMARKS.md "paired
-        # discriminator": +0.6%/+1.0% in two shipping-regime A/Bs,
-        # forward bit-exact) -- PATCHGAN_PAIRED_DISC=off opts out.
-        import os
-        return (hasattr(discriminator, 's2d')
-                and os.environ.get('PATCHGAN_PAIRED_DISC',
-                                   'on').lower()
-                not in ('off', '0', 'false'))
+        return resolve_paired_disc(paired_disc, merged_disc,
+                                   discriminator)
 
     def cast_grads(grads):
         if grad_dtype is None:

@@ -79,6 +79,31 @@ def test_paired_gradients_match_separate(s2d):
             err_msg=jax.tree_util.keystr(path))
 
 
+def test_resolve_paired_disc_precedence(monkeypatch):
+    """Default-resolution rules (train/steps.py resolve_paired_disc):
+    explicit paired_disc wins; an explicit merged_disc=True keeps the
+    merged form (otherwise it would be a silent no-op, since
+    disc_real_fake resolves paired before merged); the env gate opts
+    out; duck-typed heads without the tuple signature never pair."""
+    from patchgan_tpu.train.steps import resolve_paired_disc
+
+    disc = Discriminator(input_nc=4, ndf=4, n_layers=2)
+    monkeypatch.delenv('PATCHGAN_PAIRED_DISC', raising=False)
+    assert resolve_paired_disc(None, False, disc) is True
+    assert resolve_paired_disc(None, True, disc) is False
+    assert resolve_paired_disc(True, True, disc) is True
+    assert resolve_paired_disc(False, False, disc) is False
+
+    monkeypatch.setenv('PATCHGAN_PAIRED_DISC', 'off')
+    assert resolve_paired_disc(None, False, disc) is False
+
+    class DuckHead:  # no .s2d: lacks the tuple-of-masks apply form
+        pass
+
+    monkeypatch.delenv('PATCHGAN_PAIRED_DISC', raising=False)
+    assert not resolve_paired_disc(None, False, DuckHead())
+
+
 def test_train_step_paired_matches_default():
     """make_train_step(paired_disc=True) reproduces the default step's
     losses and parameters (the merged conv0-img wgrad only reorders a
