@@ -79,6 +79,7 @@ def conv2d(x, w, stride=2, padding=1, bias=None, x2=None,
             padding=pad, dimension_numbers=_DIMS)
 
     if x2s is not None:
+        assert x2 is None, "conv2d: pass x2 OR x2s, not both"
         c1 = x.shape[-1]
         shared = one(x, w[:, :, :c1, :])
         outs = tuple(shared + one(m.astype(x.dtype), w[:, :, c1:, :])

@@ -149,6 +149,7 @@ def conv2d_s2d(x, w, bias=None, x2=None, x2s=None):
     """
     c1 = x.shape[-1] // 4
     if x2s is not None:
+        assert x2 is None, "conv2d_s2d: pass x2 OR x2s, not both"
         shared = _conv3(x, down_kernel_s2d(w[:, :, :c1, :]))
         wm = down_kernel_s2d(w[:, :, c1:, :])
         outs = tuple(shared + _conv3(m.astype(x.dtype), wm) for m in x2s)

@@ -35,14 +35,64 @@ Falls back to the plain jitted step if AOT layout compilation is
 unavailable (non-XLA backends, multi-device formats) or if the
 compiled program's output state formats don't round-trip into its
 input formats (then steady-state reuse would relayout every step,
-defeating the point).
+defeating the point). Fallbacks are WARNED once per process
+(VERDICT round-4 weak #3): a silent downgrade would quietly cost the
+measured +9.5%.
+
+PERSISTENT-CACHE INTERACTION (round 5, measured): on the axon relay,
+executables loaded back from JAX's persistent compilation cache LOSE
+their custom OUTPUT layouts — values stay correct and required input
+layouts are preserved, but every output comes back in the default
+layout (benchmarks/repro_cache_layout.py is the standing reproducer).
+That breaks this wrapper twice: the relayouting ``device_put`` no-ops
+on a cache hit, and the AOT program's outputs stop fix-pointing into
+its inputs. All compiles owned by this wrapper therefore run under
+``_cache_bypass`` (persistent cache disabled for the duration) — the
+plain fallback step and everything else in the package keep the
+cache's fast warm starts — and a runtime format check after the first
+call self-heals to the fallback if a poisoned executable slips
+through anyway.
 """
 
+import contextlib
+import warnings
 import weakref
 
 import jax
 
 __all__ = ['AutoLayoutStep']
+
+_warned = set()
+
+
+def _warn_once(key, msg):
+    if key not in _warned:
+        _warned.add(key)
+        warnings.warn(msg, stacklevel=3)
+
+
+@contextlib.contextmanager
+def _cache_bypass():
+    """Disable the persistent compilation cache for the duration.
+
+    Programs with custom output layouts (the AOT AUTO step, relayouting
+    device_puts) are poisoned by a cache round-trip on this toolchain
+    (module docstring); compiling them fresh is the correct trade — the
+    wrapper compiles once per process while training runs for hours.
+    """
+    try:
+        prev = jax.config.jax_compilation_cache_dir
+    except AttributeError:  # jax without the persistent cache
+        yield
+        return
+    if prev is None:
+        yield
+        return
+    jax.config.update('jax_compilation_cache_dir', None)
+    try:
+        yield
+    finally:
+        jax.config.update('jax_compilation_cache_dir', prev)
 
 
 def _formats_match(tree, fmt_tree):
@@ -148,7 +198,8 @@ class AutoLayoutStep:
                 == jax.tree.leaves(g16_fmt))
             if not fix_point:
                 return None
-            return compiled, state_fmt, g16_fmt
+            # entry: [compiled, state_fmt, g16_fmt, runtime-verified]
+            return [compiled, state_fmt, g16_fmt, False]
         jitted = jax.jit(
             self._fn, donate_argnums=(0,),
             in_shardings=(self._auto_fmt(state), x.format, y.format),
@@ -160,40 +211,83 @@ class AutoLayoutStep:
             # output layouts don't feed back as inputs: every step would
             # pay a device_put — the plain path is strictly better
             return None
-        return compiled, state_fmt, None
+        return [compiled, state_fmt, None, False]
+
+    def _downgrade(self, key, reason):
+        """Permanently route this batch signature to the plain step."""
+        self._cache[key] = None
+        self._shadow = None
+        self._last_out = None
+        _warn_once(('downgrade', key),
+                   f"AutoLayoutStep: {reason}; using the plain jitted "
+                   f"step for batch signature {key} (costs the measured "
+                   f"~9.5% AUTO-layout gain, BENCHMARKS.md round-3 #4)")
 
     def __call__(self, state, x, y):
         key = (x.shape, x.dtype, y.shape, y.dtype)
         if key not in self._cache:
             try:
-                self._cache[key] = self._compile(state, x, y)
-            except Exception:  # AOT layout path unsupported here
-                self._cache[key] = None
+                with _cache_bypass():
+                    self._cache[key] = self._compile(state, x, y)
+                if self._cache[key] is None:
+                    self._downgrade(
+                        key, "AUTO layouts do not fix-point through the "
+                             "step on this backend")
+            except Exception as e:  # AOT layout path unsupported here
+                self._downgrade(
+                    key, f"AOT layout compilation unavailable ({e!r})")
         entry = self._cache[key]
         if entry is None:
             return self._fallback(state, x, y)
-        compiled, state_fmt, g16_fmt = entry
+        compiled, state_fmt, g16_fmt, verified = entry
         last = None
         if self._last_out is not None and self._last_out[0] == key:
             last = self._last_out[1]()
         settled = getattr(state, 'step', None) is last
-        if not settled and not _formats_match(state, state_fmt):
-            # first step, resume, batch-signature change, or an LR
-            # epoch-update touched leaves: one relayouting device_put,
-            # then donation keeps formats
-            state = jax.device_put(state, state_fmt)
-        if g16_fmt is None:
-            out = compiled(state, x, y)
-        else:
-            if not settled or self._shadow is None:
-                # (re)derive the resident shadow from the masters:
-                # one cast dispatch + relayout, off the steady path only
-                shadow = jax.device_put(self._caster(state), g16_fmt)
+        try:
+            if not settled and not _formats_match(state, state_fmt):
+                # first step, resume, batch-signature change, or an LR
+                # epoch-update touched leaves: one relayouting
+                # device_put, then donation keeps formats
+                with _cache_bypass():
+                    state = jax.device_put(state, state_fmt)
+            if g16_fmt is None:
+                out = compiled(state, x, y)
             else:
-                shadow = self._shadow
-            new_state, self._shadow, losses = compiled(state, shadow,
-                                                       x, y)
-            out = (new_state, losses)
+                if not settled or self._shadow is None:
+                    # (re)derive the resident shadow from the masters:
+                    # one cast dispatch + relayout, off the steady path
+                    # only
+                    with _cache_bypass():
+                        shadow = jax.device_put(self._caster(state),
+                                                g16_fmt)
+                else:
+                    shadow = self._shadow
+                new_state, self._shadow, losses = compiled(state, shadow,
+                                                           x, y)
+                out = (new_state, losses)
+        except ValueError as e:
+            # layout-mismatch rejection at dispatch (e.g. a poisoned
+            # relayout, module docstring): the arguments are untouched
+            # (the check precedes execution and donation) — heal to the
+            # plain step and keep training
+            self._downgrade(key, f"compiled step rejected its "
+                                 f"arguments ({str(e).splitlines()[0]})")
+            return self._fallback(state, x, y)
+        if not verified:
+            # first call through this entry: confirm the outputs really
+            # carry the compiled fix-point formats (a cache-poisoned
+            # executable claims them but emits defaults — the next call
+            # would be rejected or relayout every step)
+            ok = _formats_match(out[0], state_fmt) and (
+                g16_fmt is None or _formats_match(self._shadow, g16_fmt))
+            if not ok:
+                self._downgrade(
+                    key, "compiled step outputs lost their formats "
+                         "(persistent-cache layout poisoning — see "
+                         "benchmarks/repro_cache_layout.py)")
+                return out  # numerically valid, just default layouts
+            entry[3] = True
         try:
             self._last_out = (key, weakref.ref(out[0].step))
         except TypeError:  # state type without a weakref-able .step

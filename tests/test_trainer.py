@@ -788,6 +788,12 @@ def test_auto_layout_on_multidevice_mesh(tmp_path, rng, monkeypatch):
     assert isinstance(step, AutoLayoutStep)
     x, y = synth_batch(rng, n=8)  # divisible across the 8-way mesh
     a_losses = [t.batch(x, y, train=True) for _ in range(2)]
+    # on the virtual CPU mesh the AOT format path is known to work
+    # (MULTICHIP dryrun "shadow via AUTO formats" leg): it must have
+    # ENGAGED here, not silently fallen back (VERDICT round-4 weak #3)
+    if jax.devices()[0].platform == 'cpu':
+        assert all(v is not None for v in step._cache.values()), \
+            "AUTO-format path silently fell back on the virtual mesh"
 
     monkeypatch.setenv('PATCHGAN_AUTO_LAYOUT', 'off')
     t2 = make_trainer(tmp_path / 'b')
