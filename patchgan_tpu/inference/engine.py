@@ -166,6 +166,14 @@ class InferenceEngine:
         self.size = size
         self.overlap = overlap
         self.threshold = threshold
+        # warm starts: every engine program (bucketed forwards, stitch,
+        # pack) uses default layouts end to end, so all of them can ride
+        # the persistent compilation cache safely -- a serve/infer
+        # process restart then reloads executables from disk instead of
+        # re-paying the remote compiles (utils/compilation_cache.py;
+        # PATCHGAN_COMPILATION_CACHE=off opts out)
+        from ..utils.compilation_cache import enable_persistent_cache
+        enable_persistent_cache()
         # forward-only programs: dispatch the thin boundary convs to
         # the forms measured fastest WITHOUT a backward (trace-time
         # switch, see ops/tapdot.py and BENCHMARKS.md "tap-dot")

@@ -105,6 +105,16 @@ class Trainer:
         self.generator = generator
         self.discriminator = discriminator
 
+        # warm starts: the plain/eval step programs are cache-safe
+        # (default layouts), so restarts and resumes reload their
+        # executables from the persistent compilation cache instead of
+        # re-paying the minutes-long remote compile. The AUTO-layout
+        # wrapper's own programs are NOT cache-safe on this toolchain
+        # and bypass it internally (train/auto_layout.py docstring;
+        # PATCHGAN_COMPILATION_CACHE=off opts out entirely).
+        from ..utils.compilation_cache import enable_persistent_cache
+        enable_persistent_cache()
+
         # train programs: thin boundary convs dispatch to the forms
         # measured fastest WITH a backward (trace-time switch; an
         # InferenceEngine constructed later flips it to 'infer' for its
