@@ -43,14 +43,36 @@ def _round_up(n, m):
     return ((n + m - 1) // m) * m
 
 
-# Generator-forward throughput by bucket size RELATIVE to bucket 16,
-# measured on v5e (s2d form, 256px, bf16; BENCHMARKS.md #23,
-# 2026-08-19: 6282/7942/8475/9726/12011 img/s at 8/16/32/64/128 --
-# the MXU fill of the thin boundary convs keeps rising to a knee at
-# 128, then dips at 256). Only the RATIOS are used, to pick the
-# cheapest bucket for a tile count; the rising-to-a-knee shape is a
-# TPU property of this conv stack, not a machine-specific constant.
-_BUCKET_REL_RATE = {8: 0.79, 16: 1.0, 32: 1.07, 64: 1.22, 128: 1.51}
+# Generator-forward throughput by bucket size RELATIVE to bucket 16.
+# A MEASURED table, loaded from bucket_rates.json next to this module
+# (regenerate on new hardware with `python benchmarks/bucket_rates.py
+# --write`; point PATCHGAN_BUCKET_RATES at an alternative file). The
+# committed JSON was measured on v5e (s2d form, 256px, bf16;
+# BENCHMARKS.md #23: throughput rises to a knee at bucket 128 as the
+# thin boundary convs fill the MXU, then dips). Only the RATIOS are
+# used, to pick the cheapest bucket for a tile count. The hardcoded
+# fallback below (same v5e measurement) covers a missing/unreadable
+# file so the engine never fails to construct.
+_FALLBACK_BUCKET_REL_RATE = {8: 0.79, 16: 1.0, 32: 1.07, 64: 1.22,
+                             128: 1.51}
+
+
+def _load_bucket_rates():
+    import json
+    path = os.environ.get('PATCHGAN_BUCKET_RATES') or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), 'bucket_rates.json')
+    try:
+        with open(path) as f:
+            rates = {int(k): float(v)
+                     for k, v in json.load(f)['rel_rate'].items()}
+        if rates and all(v > 0 for v in rates.values()):
+            return rates
+    except Exception:
+        pass
+    return dict(_FALLBACK_BUCKET_REL_RATE)
+
+
+_BUCKET_REL_RATE = _load_bucket_rates()
 
 
 def _pick_bucket(n, cap, align):
