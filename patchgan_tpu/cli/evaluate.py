@@ -8,11 +8,14 @@ PyTorch-trained checkpoint loaded through the transfer layer) are one
 command.
 
 Config: the train-CLI dataset schema (validation_data or dataset_path +
-masks), model_params (either schema), and checkpoint_paths.generator.
+masks), model_params (either schema), and checkpoint_paths.generator
+(or checkpoint_path, whose newest generator_ep_*.npz is evaluated --
+so one config drives train-then-eval, examples/coco_real.md).
 """
 
 import argparse
 import json
+import os
 
 import numpy as np
 
@@ -82,7 +85,23 @@ def patchgan_eval(argv=None):
     g_params = generator.init(
         jax.random.PRNGKey(0),
         jnp.zeros((1, 128, 128, in_channels)))['params']
-    gen_sd = ckpt.load_state_dict(config['checkpoint_paths']['generator'])
+    gen_ckpt = config.get('checkpoint_paths', {}).get('generator')
+    if gen_ckpt is None:
+        # train->eval with ONE config (examples/coco_real.md): fall
+        # back to the newest epoch checkpoint the training run saved
+        # under checkpoint_path (the Trainer's resume glob semantics)
+        import glob
+        folder = config.get('checkpoint_path')
+        cands = sorted(glob.glob(os.path.join(folder or '',
+                                              'generator_ep_*.npz')))
+        if not cands:
+            raise ValueError(
+                "No generator checkpoint: set "
+                "checkpoint_paths.generator, or point checkpoint_path "
+                "at a folder containing generator_ep_*.npz")
+        gen_ckpt = cands[-1]
+        print(f"Evaluating newest checkpoint: {gen_ckpt}")
+    gen_sd = ckpt.load_state_dict(gen_ckpt)
     g_params, count = load_transfer_data(
         jax.device_get(g_params), gen_sd, unet_key_map(), verbose=False)
     if count < len(unet_key_map()):
@@ -132,7 +151,7 @@ def patchgan_eval(argv=None):
         'metric': 'mean_iou',
         'value': round(means['iou'], 5),
         'n_images': int(sum(weights)),
-        'checkpoint': config['checkpoint_paths']['generator'],
+        'checkpoint': gen_ckpt,
     }
     long_names = {'dice': 'mean_dice', 'bf1': 'mean_boundary_f1'}
     for m in wanted:
