@@ -90,7 +90,10 @@ class _Best:
 
     def __init__(self, batch):
         self.batch = batch
-        self._lock = threading.Lock()
+        # RLock: the SIGTERM handler runs on the main thread and calls
+        # print_once; if the signal lands while the deadline path is
+        # already inside print_once, a plain Lock would self-deadlock
+        self._lock = threading.RLock()
         self._dt = None        # seconds per step (smaller = better)
         self._quality = None   # 'coarse' | 'differential'
         self._printed = False
