@@ -112,21 +112,41 @@ class _Best:
                 self._dt, self._quality = dt, quality
 
     def print_once(self):
-        """Print the one JSON line; returns the exit code."""
-        with self._lock:
-            if self._printed:
+        """Print the one JSON line; returns the exit code.
+
+        SIGTERM/SIGINT are masked for the duration: the signal handler
+        (main thread) also calls print_once, and a signal landing
+        between the printed-flag flip and the write would otherwise
+        re-enter through the RLock, see _printed=True, and os._exit
+        with the line never emitted.
+        """
+        try:
+            old_mask = signal.pthread_sigmask(
+                signal.SIG_BLOCK, {signal.SIGTERM, signal.SIGINT})
+        except (AttributeError, ValueError):  # non-main thread
+            old_mask = None
+        try:
+            with self._lock:
+                if self._printed:
+                    return 0
+                if self._dt is None:
+                    self._printed = True
+                    return 1  # nothing measured: no honest number
+                img_s = self.batch / self._dt
+                line = json.dumps({
+                    'metric': 'train_images_per_sec_per_chip',
+                    'value': round(img_s, 2),
+                    'unit': 'img/s',
+                    'vs_baseline': round(
+                        img_s / A100_TORCH_ANCHOR_IMG_S, 3),
+                })
+                sys.stdout.write(line + '\n')
+                sys.stdout.flush()
+                self._printed = True
                 return 0
-            self._printed = True
-            if self._dt is None:
-                return 1  # nothing measured: no honest number exists
-            img_s = self.batch / self._dt
-            print(json.dumps({
-                'metric': 'train_images_per_sec_per_chip',
-                'value': round(img_s, 2),
-                'unit': 'img/s',
-                'vs_baseline': round(img_s / A100_TORCH_ANCHOR_IMG_S, 3),
-            }), flush=True)
-            return 0
+        finally:
+            if old_mask is not None:
+                signal.pthread_sigmask(signal.SIG_SETMASK, old_mask)
 
 
 def build(batch=BATCH):

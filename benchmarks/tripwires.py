@@ -93,9 +93,13 @@ def run_one(name, timeout):
         fixed = marker in text
     if fixed:
         return name, 'FIXED', f'{dt:.0f}s -- ACTION: {action}', action
-    if out.returncode in (0, 1, 2):
+    if out.returncode in (0, 1):
         return name, 'FAILING', f'{dt:.0f}s (bug present; workaround ' \
                                 f'stays)', action
+    # rc >= 2 is NOT the known-bug state: repro_cache_layout uses 2 for
+    # "cold run already broken -- a DIFFERENT bug", argparse uses 2 for
+    # usage errors -- surface those for investigation, never fold them
+    # into "workaround stays"
     tail = text.strip().splitlines()[-1] if text.strip() else ''
     return name, 'ERROR', f'rc={out.returncode}: {tail[:120]}', action
 

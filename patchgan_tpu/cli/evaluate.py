@@ -85,21 +85,29 @@ def patchgan_eval(argv=None):
     g_params = generator.init(
         jax.random.PRNGKey(0),
         jnp.zeros((1, 128, 128, in_channels)))['params']
-    gen_ckpt = config.get('checkpoint_paths', {}).get('generator')
+    # `or {}`: a present-but-empty `checkpoint_paths:` YAML key parses
+    # to None and must take the fallback, not crash
+    gen_ckpt = (config.get('checkpoint_paths') or {}).get('generator')
     if gen_ckpt is None:
         # train->eval with ONE config (examples/coco_real.md): fall
         # back to the newest epoch checkpoint the training run saved
-        # under checkpoint_path (the Trainer's resume glob semantics)
+        # under checkpoint_path
         import glob
+        import re
         folder = config.get('checkpoint_path')
-        cands = sorted(glob.glob(os.path.join(folder or '',
-                                              'generator_ep_*.npz')))
+        cands = glob.glob(os.path.join(folder or '',
+                                       'generator_ep_*.npz'))
         if not cands:
             raise ValueError(
                 "No generator checkpoint: set "
                 "checkpoint_paths.generator, or point checkpoint_path "
                 "at a folder containing generator_ep_*.npz")
-        gen_ckpt = cands[-1]
+
+        def epoch_of(path):  # numeric, not lexicographic: ep_1000 > 999
+            m = re.search(r'generator_ep_(\d+)\.npz$', path)
+            return int(m.group(1)) if m else -1
+
+        gen_ckpt = max(cands, key=epoch_of)
         print(f"Evaluating newest checkpoint: {gen_ckpt}")
     gen_sd = ckpt.load_state_dict(gen_ckpt)
     g_params, count = load_transfer_data(

@@ -54,11 +54,15 @@ call self-heals to the fallback if a poisoned executable slips
 through anyway.
 """
 
-import contextlib
 import warnings
 import weakref
 
 import jax
+
+# the bypass lives beside the cache-enabling helper so both share one
+# lock: an enable_persistent_cache() racing a bypassed compile is
+# deferred instead of re-poisoning it (utils/compilation_cache.py)
+from ..utils.compilation_cache import cache_bypass as _cache_bypass
 
 __all__ = ['AutoLayoutStep']
 
@@ -69,42 +73,6 @@ def _warn_once(key, msg):
     if key not in _warned:
         _warned.add(key)
         warnings.warn(msg, stacklevel=3)
-
-
-@contextlib.contextmanager
-def _cache_bypass():
-    """Disable the persistent compilation cache for the duration.
-
-    Programs with custom output layouts (the AOT AUTO step, relayouting
-    device_puts) are poisoned by a cache round-trip on this toolchain
-    (module docstring); compiling them fresh is the correct trade — the
-    wrapper compiles once per process while training runs for hours.
-
-    Updating ``jax_compilation_cache_dir`` (or even
-    ``jax_enable_compilation_cache``) alone is NOT enough: once the
-    cache object has been initialized by any earlier compile, lookups
-    keep using it regardless of the config (measured on jax 0.9.0).
-    ``compilation_cache.reset_cache()`` drops that object, so the next
-    compile re-reads the config — cleared on entry so the bypass is
-    real, and again on exit so later compiles re-attach to the
-    configured directory.
-    """
-    try:
-        prev = jax.config.jax_compilation_cache_dir
-        from jax.experimental.compilation_cache import compilation_cache
-    except (AttributeError, ImportError):  # jax without the cache
-        yield
-        return
-    if prev is None:
-        yield
-        return
-    jax.config.update('jax_compilation_cache_dir', None)
-    compilation_cache.reset_cache()
-    try:
-        yield
-    finally:
-        jax.config.update('jax_compilation_cache_dir', prev)
-        compilation_cache.reset_cache()
 
 
 def _formats_match(tree, fmt_tree):

@@ -1,4 +1,4 @@
-"""Persistent XLA compilation cache setup.
+"""Persistent XLA compilation cache setup + bypass.
 
 The first compile of the full train step through a remote TPU backend
 is slow (minutes through this environment's relay, CLAUDE.md), and a
@@ -8,48 +8,142 @@ weak #1). JAX's persistent compilation cache removes the repeat cost
 entirely: compiled executables are keyed on (HLO, jax/libtpu version,
 device kind) and reloaded from disk on every later process start.
 Measured here: a 1.0 s remote compile drops to 0.02 s on the second
-process run.
+process run; warm `patchgan_train` startup 2m56 -> 39.6 s; engine
+first-prediction 7.6 s -> 2.0 s (BENCHMARKS.md round-5 record).
 
 The reference framework has no analog (torch eager recompiles nothing);
 this is TPU-runtime infrastructure, enabled by default for the Trainer,
 the CLIs, and bench.py.
 
+This module also owns ``cache_bypass``: on the current toolchain a
+cache round-trip STRIPS an executable's custom output layouts
+(benchmarks/repro_cache_layout.py), so programs that carry them (the
+AOT AUTO-layout step, relayouting device_puts -- train/auto_layout.py)
+must compile with the cache truly disabled. Both entry points share
+one lock so a concurrent ``enable_persistent_cache`` (e.g. an
+InferenceEngine constructed on another thread) cannot re-enable the
+cache in the middle of a bypassed compile -- it is deferred and
+applied when the bypass exits.
+
 Gate: ``PATCHGAN_COMPILATION_CACHE`` -- a directory path, ``off`` to
-disable, or unset for the default ``~/.cache/patchgan_tpu/jax_cache``.
+disable (wins over explicit arguments too), or unset for the default
+``~/.cache/patchgan_tpu/jax_cache``. A cache dir the user already
+configured via ``jax.config`` is respected, not clobbered.
 """
 
+import contextlib
 import os
+import threading
 
-__all__ = ['enable_persistent_cache']
+__all__ = ['enable_persistent_cache', 'cache_bypass']
 
 _DEFAULT_DIR = os.path.join(os.path.expanduser('~'), '.cache',
                             'patchgan_tpu', 'jax_cache')
+
+_lock = threading.RLock()
+_bypass_depth = 0
+_saved_dir = None    # dir to restore when the outermost bypass exits
+_pending_dir = None  # enable() call that arrived during a bypass
+
+
+def _apply(jax, cache_dir):
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update('jax_compilation_cache_dir', cache_dir)
+    # cache every program: this workload's hot cost is a handful of
+    # large train-step/engine programs, and the small ones (casts,
+    # loss fetches) are free to keep
+    jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
 
 
 def enable_persistent_cache(cache_dir=None):
     """Point JAX's persistent compilation cache at ``cache_dir``.
 
-    Resolution order: explicit argument, ``PATCHGAN_COMPILATION_CACHE``
-    env var (``off``/``0``/``false`` disables), then the user-cache
-    default. Safe to call more than once and before/after backend
-    init (the cache is consulted per compile, not at startup). Returns
-    the directory in use, or None when disabled/unavailable.
+    Resolution order: ``PATCHGAN_COMPILATION_CACHE=off`` disables
+    everything; an explicit argument wins next; then the env var as a
+    path; then a dir the user already set on ``jax.config`` (left
+    untouched); then the user-cache default. Safe to call repeatedly
+    and from any thread (calls during an active ``cache_bypass`` are
+    deferred until the bypass exits). Returns the directory in use, or
+    None when disabled/unavailable.
     """
+    global _pending_dir
     env = os.environ.get('PATCHGAN_COMPILATION_CACHE', '')
-    if cache_dir is None:
-        if env.lower() in ('off', '0', 'false'):
-            return None
-        cache_dir = env or _DEFAULT_DIR
+    if env.lower() in ('off', '0', 'false'):
+        return None  # the kill-switch wins over explicit arguments
     import jax
+    if cache_dir is None:
+        if env:
+            cache_dir = env
+        else:
+            try:
+                existing = jax.config.jax_compilation_cache_dir
+            except AttributeError:  # jax without the persistent cache
+                return None
+            if existing is not None:
+                return existing  # user already configured one: respect
+            cache_dir = _DEFAULT_DIR
     try:
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update('jax_compilation_cache_dir', cache_dir)
-        # cache every program: this workload's hot cost is a handful of
-        # large train-step/engine programs, and the small ones (casts,
-        # loss fetches) are free to keep
-        jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
-        jax.config.update('jax_persistent_cache_min_compile_time_secs',
-                          0.0)
+        with _lock:
+            if _bypass_depth:
+                # a bypassed compile is in flight: re-enabling now
+                # would hand it a poisoned cache hit -- apply on exit
+                _pending_dir = cache_dir
+                return cache_dir
+            _apply(jax, cache_dir)
     except Exception:  # pragma: no cover - jax without cache support
         return None
     return cache_dir
+
+
+@contextlib.contextmanager
+def cache_bypass():
+    """Disable the persistent compilation cache for the duration.
+
+    Programs with custom output layouts are poisoned by a cache
+    round-trip on this toolchain (module docstring); compiling them
+    fresh is the correct trade -- the AUTO wrapper compiles once per
+    process while training runs for hours.
+
+    Updating ``jax_compilation_cache_dir`` (or even
+    ``jax_enable_compilation_cache``) alone is NOT enough: once the
+    cache object has been initialized by any earlier compile, lookups
+    keep using it regardless of the config (measured on jax 0.9.0).
+    ``compilation_cache.reset_cache()`` drops that object, so the next
+    compile re-reads the config -- cleared on entry so the bypass is
+    real, and again on exit so later compiles re-attach to the
+    configured directory. Re-entrant and thread-safe: only the
+    outermost exit restores, and ``enable_persistent_cache`` calls
+    racing a bypass are deferred, not lost.
+    """
+    global _bypass_depth, _saved_dir, _pending_dir
+    try:
+        import jax
+        from jax.experimental.compilation_cache import compilation_cache
+        prev = jax.config.jax_compilation_cache_dir
+    except (ImportError, AttributeError):  # jax without the cache
+        yield
+        return
+    with _lock:
+        _bypass_depth += 1
+        if _bypass_depth == 1:
+            _saved_dir = prev
+            if prev is not None:
+                jax.config.update('jax_compilation_cache_dir', None)
+                compilation_cache.reset_cache()
+    try:
+        yield
+    finally:
+        with _lock:
+            _bypass_depth -= 1
+            if _bypass_depth == 0:
+                target = (_pending_dir if _pending_dir is not None
+                          else _saved_dir)
+                _pending_dir = None
+                _saved_dir = None
+                if target is not None:
+                    try:
+                        _apply(jax, target)
+                    except Exception:  # pragma: no cover
+                        pass
+                    compilation_cache.reset_cache()

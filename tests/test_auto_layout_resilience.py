@@ -160,6 +160,10 @@ def test_enable_persistent_cache_env_gate(tmp_path, monkeypatch):
     try:
         monkeypatch.setenv('PATCHGAN_COMPILATION_CACHE', 'off')
         assert enable_persistent_cache() is None
+        # the kill-switch also beats explicit arguments (bench.py
+        # passes its repo-local dir explicitly; =off must still win)
+        assert enable_persistent_cache(str(tmp_path / 'x')) is None
+        assert jax.config.jax_compilation_cache_dir is None
 
         monkeypatch.setenv('PATCHGAN_COMPILATION_CACHE',
                            str(tmp_path / 'c'))
@@ -168,8 +172,56 @@ def test_enable_persistent_cache_env_gate(tmp_path, monkeypatch):
         assert (tmp_path / 'c').is_dir()
         assert jax.config.jax_compilation_cache_dir == str(tmp_path / 'c')
 
-        # explicit argument wins over the env var
+        # explicit argument wins over the env var path
         got = enable_persistent_cache(str(tmp_path / 'd'))
         assert got == str(tmp_path / 'd')
+    finally:
+        jax.config.update('jax_compilation_cache_dir', None)
+
+
+def test_enable_persistent_cache_respects_user_config(tmp_path,
+                                                      monkeypatch):
+    """A cache dir the user set on jax.config themselves is returned
+    as-is, not clobbered by a no-arg enable (Trainer/engine __init__)."""
+    from patchgan_tpu.utils.compilation_cache import \
+        enable_persistent_cache
+    monkeypatch.delenv('PATCHGAN_COMPILATION_CACHE', raising=False)
+    try:
+        jax.config.update('jax_compilation_cache_dir',
+                          str(tmp_path / 'mine'))
+        assert enable_persistent_cache() == str(tmp_path / 'mine')
+        assert jax.config.jax_compilation_cache_dir == \
+            str(tmp_path / 'mine')
+    finally:
+        jax.config.update('jax_compilation_cache_dir', None)
+
+
+def test_cache_bypass_defers_concurrent_enable(tmp_path, monkeypatch):
+    """enable_persistent_cache() arriving DURING a bypass (e.g. an
+    InferenceEngine constructed on another thread mid-AUTO-compile)
+    must not re-enable the cache inside the bypass; it applies when
+    the bypass exits."""
+    from patchgan_tpu.utils import compilation_cache as cc
+    monkeypatch.delenv('PATCHGAN_COMPILATION_CACHE', raising=False)
+    try:
+        jax.config.update('jax_compilation_cache_dir',
+                          str(tmp_path / 'a'))
+        with cc.cache_bypass():
+            assert jax.config.jax_compilation_cache_dir is None
+            got = cc.enable_persistent_cache(str(tmp_path / 'b'))
+            assert got == str(tmp_path / 'b')  # accepted...
+            # ...but NOT applied while the bypass is active
+            assert jax.config.jax_compilation_cache_dir is None
+        # applied on exit, superseding the saved dir
+        assert jax.config.jax_compilation_cache_dir == \
+            str(tmp_path / 'b')
+
+        # nesting: only the outermost exit restores
+        with cc.cache_bypass():
+            with cc.cache_bypass():
+                assert jax.config.jax_compilation_cache_dir is None
+            assert jax.config.jax_compilation_cache_dir is None
+        assert jax.config.jax_compilation_cache_dir == \
+            str(tmp_path / 'b')
     finally:
         jax.config.update('jax_compilation_cache_dir', None)
