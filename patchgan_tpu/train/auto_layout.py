@@ -203,6 +203,32 @@ class AutoLayoutStep:
                    f"step for batch signature {key} (costs the measured "
                    f"~9.5% AUTO-layout gain, BENCHMARKS.md round-3 #4)")
 
+    _copy_tree = None  # lazily-jitted whole-tree device copy
+
+    @classmethod
+    def _snapshot(cls, state):
+        """One-dispatch device copy of the state tree (first-call
+        insurance: the compiled call donates ``state``, so replaying
+        through the fallback after a late failure needs live buffers)."""
+        if cls._copy_tree is None:
+            import jax.numpy as jnp
+            cls._copy_tree = jax.jit(
+                lambda s: jax.tree.map(jnp.copy, s))
+        return cls._copy_tree(state)
+
+    @staticmethod
+    def _probe_fetch(losses):
+        """Force every loss scalar onto the host. A poisoned
+        executable (module docstring) can ACCEPT its inputs and return
+        arrays whose format metadata claims the compiled layouts but
+        whose buffers fail at fetch time with a backend
+        INVALID_ARGUMENT (observed on the axon relay; per-BUFFER — one
+        loss leaf fetched fine while another failed, so every leaf is
+        probed). The Trainer fetches these scalars anyway, so a usable
+        entry pays nothing extra beyond the first-call sync."""
+        for leaf in jax.tree.leaves(losses):
+            float(jax.device_get(leaf).ravel()[0])
+
     def __call__(self, state, x, y):
         key = (x.shape, x.dtype, y.shape, y.dtype)
         if key not in self._cache:
@@ -224,6 +250,7 @@ class AutoLayoutStep:
         if self._last_out is not None and self._last_out[0] == key:
             last = self._last_out[1]()
         settled = getattr(state, 'step', None) is last
+        backup = None if verified else self._snapshot(state)
         try:
             if not settled and not _formats_match(state, state_fmt):
                 # first step, resume, batch-signature change, or an LR
@@ -248,12 +275,18 @@ class AutoLayoutStep:
                 out = (new_state, losses)
         except ValueError as e:
             # layout-mismatch rejection at dispatch (e.g. a poisoned
-            # relayout, module docstring): the arguments are untouched
-            # (the check precedes execution and donation) — heal to the
-            # plain step and keep training
+            # relayout, module docstring): donation has not happened
+            # (the check precedes execution) — heal to the plain step
+            # and keep training. CRITICAL: replay from the pre-
+            # placement snapshot when one exists, NOT the rebound
+            # ``state``: a poisoned relayouting device_put can return
+            # arrays whose buffers are unusable (measured: the plain
+            # step run on them yields outputs that fail to fetch with
+            # a backend INVALID_ARGUMENT)
             self._downgrade(key, f"compiled step rejected its "
                                  f"arguments ({str(e).splitlines()[0]})")
-            return self._fallback(state, x, y)
+            return self._fallback(backup if backup is not None
+                                  else state, x, y)
         if not verified:
             # first call through this entry: confirm the outputs really
             # carry the compiled fix-point formats (a cache-poisoned
@@ -267,6 +300,18 @@ class AutoLayoutStep:
                          "(persistent-cache layout poisoning — see "
                          "benchmarks/repro_cache_layout.py)")
                 return out  # numerically valid, just default layouts
+            try:
+                self._probe_fetch(out[1])
+            except Exception as e:
+                # formats LOOKED right but the buffers are unusable
+                # (metadata can lie, _probe_fetch docstring): the
+                # donated inputs are gone, so replay this batch through
+                # the plain step from the pre-call snapshot
+                self._downgrade(
+                    key, f"compiled step outputs failed to fetch "
+                         f"({e!r}) — replaying the batch via the "
+                         f"plain step")
+                return self._fallback(backup, x, y)
             entry[3] = True
         try:
             self._last_out = (key, weakref.ref(out[0].step))

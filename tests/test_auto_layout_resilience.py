@@ -136,6 +136,35 @@ def test_output_format_poison_detected_on_first_call(rng, monkeypatch):
     assert np.isfinite(float(losses['gen']))
 
 
+def test_fetch_failure_replays_via_fallback(rng, monkeypatch):
+    """A poisoned executable can ACCEPT inputs and return arrays whose
+    buffers only fail at fetch time (observed on the TPU relay as a
+    backend INVALID_ARGUMENT): the first-call probe fetch must catch
+    it, downgrade, and REPLAY the batch through the plain step from
+    the pre-call snapshot (the compiled call donated the inputs)."""
+    state, step = build()
+    x, y = batch(rng)
+    ref_state, ref_losses = jax.jit(step)(build()[0], x, y)
+
+    wrapper = make_wrapper(step)
+    monkeypatch.setattr(
+        AutoLayoutStep, '_probe_fetch',
+        staticmethod(lambda losses: (_ for _ in ()).throw(
+            RuntimeError('INVALID_ARGUMENT: TPU backend error'))))
+    with pytest.warns(UserWarning, match='failed to fetch'):
+        state, losses = wrapper(state, x, y)
+    key = (x.shape, x.dtype, y.shape, y.dtype)
+    assert wrapper._cache[key] is None
+    # the replay reproduces the plain step's result exactly
+    np.testing.assert_allclose(float(losses['gen']),
+                               float(ref_losses['gen']), rtol=1e-6)
+    # and training continues on the fallback without further warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter('error')
+        state, losses = wrapper(state, x, y)
+    assert np.isfinite(float(losses['gen']))
+
+
 def test_cache_bypass_restores_config(tmp_path):
     """_cache_bypass must disable the persistent cache only for its
     scope, including on exceptions."""
