@@ -37,9 +37,9 @@ transiently wedged. Layered defenses:
      shipping AUTO+shadow path, whose programs canNOT ride the cache:
      executables with custom output layouts come back from a cache
      round-trip with their layouts stripped on this toolchain
-     (benchmarks/repro_cache_layout.py; train/auto_layout.py
-     _cache_bypass), so stage B always pays one fresh ~3-4 min
-     compile, then supersedes stage A's number.
+     (benchmarks/repro_cache_layout.py; cache_bypass in
+     utils/compilation_cache.py), so stage B always pays one fresh
+     ~1-4 min compile, then supersedes stage A's number.
   3. ALL JAX work runs in a daemon worker thread that publishes
      progressively better readings (a coarse wall-clock rate seconds
      after compile, then each differential rep). The main thread never

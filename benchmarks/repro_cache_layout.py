@@ -17,7 +17,8 @@ outputs come back in the DEFAULT layout:
 
 Consequences for this package while the bug stands (all shipped):
   * train/auto_layout.py compiles every program it owns under
-    ``_cache_bypass`` (persistent cache disabled for the duration) and
+    ``cache_bypass`` (utils/compilation_cache.py; persistent cache
+    truly disabled for the duration via reset_cache) and
     verifies output formats after the first call, healing to the plain
     step with a warning;
   * bench.py measures a cache-safe plain stage before the fresh-
@@ -25,7 +26,8 @@ Consequences for this package while the bug stands (all shipped):
 
 Run on every jax/libtpu/axon bump (or via benchmarks/tripwires.py):
 prints SUCCESS when the cache round-trip preserves output layouts --
-then drop ``_cache_bypass`` and collapse bench.py back to one stage.
+then drop ``cache_bypass`` (utils/compilation_cache.py) and
+collapse bench.py back to one stage.
 """
 
 import os
@@ -69,7 +71,7 @@ def main():
                 return 2
         if runs[1]:
             print("SUCCESS: cache round-trip preserves custom output "
-                  "layouts -- drop train/auto_layout.py's _cache_bypass "
+                  "layouts -- drop utils/compilation_cache.py's cache_bypass "
                   "and bench.py's two-stage split")
             return 0
         print("FAILING (expected on this toolchain): cache-loaded "

@@ -51,8 +51,8 @@ TRIPWIRES = {
     'cache_layout': (
         'repro_cache_layout.py', [],
         'SUCCESS',
-        'drop _cache_bypass in train/auto_layout.py and collapse '
-        'bench.py to one stage'),
+        'drop cache_bypass in utils/compilation_cache.py (and its use '
+        'in train/auto_layout.py) and collapse bench.py to one stage'),
     'int8_mxu': (
         'int8_conv_probe.py', [],
         None,  # parses speedups from the JSON lines instead

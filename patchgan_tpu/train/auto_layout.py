@@ -229,6 +229,28 @@ class AutoLayoutStep:
         for leaf in jax.tree.leaves(losses):
             float(jax.device_get(leaf).ravel()[0])
 
+    @staticmethod
+    def _probe_state(*trees):
+        """One tiny reduction dispatch consuming EVERY buffer of the
+        output state (and shadow): the observed poison is per-buffer,
+        so loss scalars alone fetching cleanly does not prove the
+        derived state is usable — the next dispatch on a broken leaf
+        raises the same backend INVALID_ARGUMENT, by which time the
+        snapshot is gone. Dispatching one checksum over all leaves
+        surfaces that NOW, while replay is still possible. Fetches one
+        scalar; numeric value is irrelevant."""
+        import jax.numpy as jnp
+        leaves = [leaf for tree in trees for leaf in jax.tree.leaves(tree)
+                  if hasattr(leaf, 'dtype')
+                  and jnp.issubdtype(leaf.dtype, jnp.number)]
+        if not leaves:
+            return
+
+        def checksum(ls):
+            return sum(jnp.sum(jnp.asarray(l, jnp.float32)) for l in ls)
+
+        float(jax.device_get(jax.jit(checksum)(leaves)))
+
     def __call__(self, state, x, y):
         key = (x.shape, x.dtype, y.shape, y.dtype)
         if key not in self._cache:
@@ -295,22 +317,25 @@ class AutoLayoutStep:
             ok = _formats_match(out[0], state_fmt) and (
                 g16_fmt is None or _formats_match(self._shadow, g16_fmt))
             if not ok:
+                # outputs in unexpected formats: do not trust the
+                # buffers either — replay from the snapshot
                 self._downgrade(
                     key, "compiled step outputs lost their formats "
                          "(persistent-cache layout poisoning — see "
                          "benchmarks/repro_cache_layout.py)")
-                return out  # numerically valid, just default layouts
+                return self._fallback(backup, x, y)
             try:
                 self._probe_fetch(out[1])
+                self._probe_state(out[0], self._shadow)
             except Exception as e:
                 # formats LOOKED right but the buffers are unusable
-                # (metadata can lie, _probe_fetch docstring): the
-                # donated inputs are gone, so replay this batch through
-                # the plain step from the pre-call snapshot
+                # (metadata can lie; the poison is per-buffer, see the
+                # probe docstrings): the donated inputs are gone, so
+                # replay this batch through the plain step from the
+                # pre-call snapshot
                 self._downgrade(
-                    key, f"compiled step outputs failed to fetch "
-                         f"({e!r}) — replaying the batch via the "
-                         f"plain step")
+                    key, f"compiled step outputs unusable ({e!r}) — "
+                         f"replaying the batch via the plain step")
                 return self._fallback(backup, x, y)
             entry[3] = True
         try:

@@ -72,24 +72,30 @@ def enable_persistent_cache(cache_dir=None):
     if env.lower() in ('off', '0', 'false'):
         return None  # the kill-switch wins over explicit arguments
     import jax
-    if cache_dir is None:
-        if env:
-            cache_dir = env
-        else:
-            try:
-                existing = jax.config.jax_compilation_cache_dir
-            except AttributeError:  # jax without the persistent cache
-                return None
-            if existing is not None:
-                return existing  # user already configured one: respect
-            cache_dir = _DEFAULT_DIR
+    explicit = cache_dir if cache_dir is not None else (env or None)
     try:
         with _lock:
+            # the already-configured dir: while a bypass is active the
+            # live config reads None, so the real one is _saved_dir /
+            # _pending_dir -- consulting the live config there would
+            # mis-resolve a no-arg call to the default dir and
+            # permanently redirect the cache on bypass exit
+            if _bypass_depth:
+                existing = (_pending_dir if _pending_dir is not None
+                            else _saved_dir)
+            else:
+                try:
+                    existing = jax.config.jax_compilation_cache_dir
+                except AttributeError:  # jax without the cache
+                    return None
+            cache_dir = explicit or existing or _DEFAULT_DIR
             if _bypass_depth:
                 # a bypassed compile is in flight: re-enabling now
                 # would hand it a poisoned cache hit -- apply on exit
                 _pending_dir = cache_dir
                 return cache_dir
+            if explicit is None and existing is not None:
+                return existing  # user already configured one: respect
             _apply(jax, cache_dir)
     except Exception:  # pragma: no cover - jax without cache support
         return None
@@ -120,11 +126,17 @@ def cache_bypass():
     try:
         import jax
         from jax.experimental.compilation_cache import compilation_cache
-        prev = jax.config.jax_compilation_cache_dir
-    except (ImportError, AttributeError):  # jax without the cache
+    except ImportError:  # pragma: no cover - jax without the cache
         yield
         return
     with _lock:
+        # the config read happens UNDER the lock: reading it outside
+        # can race another thread's bypass exit and record prev=None,
+        # making this bypass a no-op (cache left enabled)
+        try:
+            prev = jax.config.jax_compilation_cache_dir
+        except AttributeError:  # pragma: no cover
+            prev = None
         _bypass_depth += 1
         if _bypass_depth == 1:
             _saved_dir = prev
@@ -137,13 +149,21 @@ def cache_bypass():
         with _lock:
             _bypass_depth -= 1
             if _bypass_depth == 0:
-                target = (_pending_dir if _pending_dir is not None
-                          else _saved_dir)
-                _pending_dir = None
-                _saved_dir = None
-                if target is not None:
-                    try:
-                        _apply(jax, target)
-                    except Exception:  # pragma: no cover
-                        pass
-                    compilation_cache.reset_cache()
+                pending, _pending_dir = _pending_dir, None
+                saved, _saved_dir = _saved_dir, None
+                try:
+                    if pending is not None:
+                        # an enable() arrived during the bypass: full
+                        # enable semantics (dir + cache-everything
+                        # thresholds)
+                        _apply(jax, pending)
+                        compilation_cache.reset_cache()
+                    elif saved is not None:
+                        # plain restore: the dir ONLY -- re-running
+                        # _apply here would clobber min-entry/compile
+                        # thresholds a user set on jax.config directly
+                        jax.config.update('jax_compilation_cache_dir',
+                                          saved)
+                        compilation_cache.reset_cache()
+                except Exception:  # pragma: no cover
+                    pass

@@ -151,7 +151,7 @@ def test_fetch_failure_replays_via_fallback(rng, monkeypatch):
         AutoLayoutStep, '_probe_fetch',
         staticmethod(lambda losses: (_ for _ in ()).throw(
             RuntimeError('INVALID_ARGUMENT: TPU backend error'))))
-    with pytest.warns(UserWarning, match='failed to fetch'):
+    with pytest.warns(UserWarning, match='outputs unusable'):
         state, losses = wrapper(state, x, y)
     key = (x.shape, x.dtype, y.shape, y.dtype)
     assert wrapper._cache[key] is None
