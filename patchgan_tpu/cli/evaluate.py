@@ -82,9 +82,13 @@ def patchgan_eval(argv=None):
 
     import jax
     import jax.numpy as jnp
-    g_params = generator.init(
-        jax.random.PRNGKey(0),
-        jnp.zeros((1, 128, 128, in_channels)))['params']
+    # ONE jitted init program: eager flax init pays ~130 per-op
+    # compile/dispatch round trips (~80 s on a remote-TPU relay vs
+    # seconds jitted, cached across process starts; train/steps.py
+    # init_train_state has the same treatment)
+    g_params = jax.jit(lambda k: generator.init(
+        k, jnp.zeros((1, 128, 128, in_channels))))(
+            jax.random.PRNGKey(0))['params']
     # `or {}`: a present-but-empty `checkpoint_paths:` YAML key parses
     # to None and must take the fallback, not crash
     gen_ckpt = (config.get('checkpoint_paths') or {}).get('generator')

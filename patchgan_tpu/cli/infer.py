@@ -80,9 +80,13 @@ def patchgan_infer(argv=None):
 
     import jax
     import jax.numpy as jnp
-    g_params = generator.init(
-        jax.random.PRNGKey(0),
-        jnp.zeros((1, 128, 128, in_channels)))['params']
+    # ONE jitted init program: eager flax init pays ~130 per-op
+    # compile/dispatch round trips (~80 s on a remote-TPU relay vs
+    # seconds jitted, cached across process starts; train/steps.py
+    # init_train_state has the same treatment)
+    g_params = jax.jit(lambda k: generator.init(
+        k, jnp.zeros((1, 128, 128, in_channels))))(
+            jax.random.PRNGKey(0))['params']
 
     checkpoint_paths = config['checkpoint_paths']
     gen_sd = ckpt.load_state_dict(checkpoint_paths['generator'])

@@ -68,9 +68,13 @@ def _build_engine(config, dtype):
                      nf=gen_cfg['filters'],
                      activation=gen_cfg['activation'],
                      final_act=gen_cfg['final_activation'], dtype=dtype)
-    g_params = generator.init(
-        jax.random.PRNGKey(0),
-        jnp.zeros((1, 128, 128, in_channels)))['params']
+    # ONE jitted init program: eager flax init pays ~130 per-op
+    # compile/dispatch round trips (~80 s on a remote-TPU relay vs
+    # seconds jitted, cached across process starts; train/steps.py
+    # init_train_state has the same treatment)
+    g_params = jax.jit(lambda k: generator.init(
+        k, jnp.zeros((1, 128, 128, in_channels))))(
+            jax.random.PRNGKey(0))['params']
     gen_sd = ckpt.load_state_dict(config['checkpoint_paths']['generator'])
     g_params, count = load_transfer_data(
         jax.device_get(g_params), gen_sd, unet_key_map(), verbose=False)

@@ -121,26 +121,40 @@ def init_train_state(generator, discriminator, input_shape, out_channels,
     """Initialise both param trees and optimizer states.
 
     input_shape: (N, H, W, C_in) of the generator input.
+
+    The whole initialisation runs as ONE jitted program: un-jitted
+    flax ``Module.init`` dispatches ~130 tiny eager ops, each with its
+    own compile + dispatch round trip — ~80 s through a remote-TPU
+    relay vs ~3-5 s as one program (and near-free on later starts via
+    the persistent compilation cache; default layouts, cache-safe).
+    Bit-identical values: the RNG/xavier math is exact integer/float
+    arithmetic either way (tests/test_models.py init-jit parity).
     """
-    rng = jax.random.PRNGKey(seed)
-    g_key, d_key, state_key = jax.random.split(rng, 3)
-    x = jnp.zeros(input_shape, jnp.float32)
-    y = jnp.zeros(input_shape[:3] + (out_channels,), jnp.float32)
-    if getattr(generator, 's2d', False):
-        # s2d models trace over the boundary form; the parameter tree
-        # (shapes and names) is identical either way (ops/s2d.py)
-        from ..ops.s2d import space_to_depth
-        x, y = space_to_depth(x), space_to_depth(y)
-    g_params = generator.init(g_key, x, train=False)['params']
-    d_params = discriminator.init(d_key, x, y)['params']
-    return TrainState(
-        g_params=g_params,
-        d_params=d_params,
-        g_opt_state=gen_tx.init(g_params),
-        d_opt_state=disc_tx.init(d_params),
-        step=jnp.zeros((), jnp.int32),
-        rng=state_key,
-    )
+    def _init(rng):
+        g_key, d_key, state_key = jax.random.split(rng, 3)
+        # zeros created INSIDE the traced function: XLA represents
+        # them as broadcast(0) instead of serialising literal buffers
+        # through the remote-compile path
+        x = jnp.zeros(input_shape, jnp.float32)
+        y = jnp.zeros(input_shape[:3] + (out_channels,), jnp.float32)
+        if getattr(generator, 's2d', False):
+            # s2d models trace over the boundary form; the parameter
+            # tree (shapes and names) is identical either way
+            # (ops/s2d.py)
+            from ..ops.s2d import space_to_depth
+            x, y = space_to_depth(x), space_to_depth(y)
+        g_params = generator.init(g_key, x, train=False)['params']
+        d_params = discriminator.init(d_key, x, y)['params']
+        return TrainState(
+            g_params=g_params,
+            d_params=d_params,
+            g_opt_state=gen_tx.init(g_params),
+            d_opt_state=disc_tx.init(d_params),
+            step=jnp.zeros((), jnp.int32),
+            rng=state_key,
+        )
+
+    return jax.jit(_init)(jax.random.PRNGKey(seed))
 
 
 def make_seg_loss(loss_type, seg_alpha, tversky_beta=0.75,

@@ -168,3 +168,38 @@ def test_param_count_matches_torch_reference():
     seq.append(nn.Conv2d(ndf * nf_mult, 1, 4, 1, 1))
     expected_d = sum(p.numel() for m in seq for p in m.parameters())
     assert ours_d == expected_d
+
+
+def test_jitted_init_matches_eager_init():
+    """init_train_state runs as ONE jitted program (round 5: eager
+    flax init dispatches ~130 ops = ~80 s through a remote-TPU relay).
+    The values must be BIT-identical to eager module init with the
+    same keys -- checkpoint/seed reproducibility depends on it."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from patchgan_tpu.models import Discriminator, UNet
+    from patchgan_tpu.train.steps import init_train_state, make_optimizer
+
+    gen = UNet(input_nc=3, output_nc=1, nf=4, final_act='sigmoid',
+               use_pallas=False)
+    disc = Discriminator(input_nc=4, ndf=4, n_layers=2, use_pallas=False)
+    gtx, dtx = make_optimizer(1e-3), make_optimizer(1e-3)
+    state = init_train_state(gen, disc, (1, 128, 128, 3), 1, gtx, dtx,
+                             seed=7)
+
+    rng = jax.random.PRNGKey(7)
+    g_key, d_key, state_key = jax.random.split(rng, 3)
+    x = jnp.zeros((1, 128, 128, 3), jnp.float32)
+    y = jnp.zeros((1, 128, 128, 1), jnp.float32)
+    g_ref = gen.init(g_key, x, train=False)['params']
+    d_ref = disc.init(d_key, x, y)['params']
+
+    for got, ref in ((state.g_params, g_ref), (state.d_params, d_ref)):
+        got_l, ref_l = jax.tree.leaves(got), jax.tree.leaves(ref)
+        assert len(got_l) == len(ref_l)
+        for a, b in zip(got_l, ref_l):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(state.rng),
+                                  np.asarray(state_key))
